@@ -1,0 +1,323 @@
+"""Golden tests ported from the reference's unit suite.
+
+Sources: /root/reference/src/test/java/it/unipi/di/acube/smaph/
+SmaphUtilsTest.java and learn/featurePacks/
+AdvancedAnnotationFeaturePackTest.java. Values asserted are the
+reference's exact goldens (north_rule: "ports of SMAPH's
+annotation/ranking unit tests recast as pair-scoring assertions").
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from smaph_spark.functions import kernels as K
+
+DELTA = 1e-4
+
+
+# --- SmaphUtilsTest.testGetMinEditDist (:21-60) ---------------------------
+def test_min_edit_dist_goldens():
+    assert K.min_edit_dist("armstrong moon", "Armstrong World Industries") == pytest.approx(
+        (0 + 4.0 / 5.0 + 7.0 / 10.0) / 3.0, abs=DELTA
+    )
+    toks = []
+    res = K.min_edit_dist("armstrong moon", "Armstrong World Industries", toks)
+    assert res == pytest.approx((0 + 4 / 5 + 7 / 10) / 3, abs=DELTA)
+    assert toks == ["armstrong", "moon", "armstrong"]
+
+    toks = []
+    assert K.min_edit_dist("armstrong moon", "armstrong moon", toks) == 0.0
+    assert toks == ["armstrong", "moon"]
+
+    toks = []
+    assert K.min_edit_dist("moooon moan", "moon", toks) == pytest.approx(0.25, abs=DELTA)
+    assert toks == ["moan"]
+
+
+# --- SmaphUtilsTest.testGetNormEditDistance (:62-75) ----------------------
+def test_norm_edit_distance_goldens():
+    assert K.norm_edit_distance("armstrong", "armstrong") == 0.0
+    assert K.norm_edit_distance("world", "armstrong") == pytest.approx(8 / 9, abs=DELTA)
+    assert K.norm_edit_distance("world", "moon") == pytest.approx(4 / 5, abs=DELTA)
+    assert K.norm_edit_distance("industries", "armstrong") == pytest.approx(7 / 10, abs=DELTA)
+    assert K.norm_edit_distance("industries", "moon") == pytest.approx(1.0, abs=DELTA)
+    assert K.norm_edit_distance("", "abc") == 1.0
+    assert K.norm_edit_distance("abc", "") == 1.0
+
+
+def test_norm_edit_distance_batch_matches_scalar():
+    a = ["world", "world", "industries", "industries", "", "abc", "same"]
+    b = ["armstrong", "moon", "armstrong", "moon", "abc", "", "same"]
+    got = K.norm_edit_distance_batch(a, b)
+    want = [K.norm_edit_distance(x, y) for x, y in zip(a, b)]
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(alphabet="abcdef", max_size=12),
+    st.text(alphabet="abcdef", max_size=12),
+)
+def test_levenshtein_batch_property(a, b):
+    assert K.levenshtein_batch([a], [b])[0] == K.levenshtein(a, b)
+
+
+# --- SmaphUtilsTest.testGetBioSequences (:77-112) --------------------------
+def test_bio_sequences():
+    s1 = K.bio_sequences(1, 100)
+    assert len(s1) == 2 and {"B", "O"} == set(s1)
+    s2 = K.bio_sequences(2, 100)
+    assert len(s2) == 5
+    assert set(s2) == {"BB", "BI", "BO", "OB", "OO"}
+    s3 = K.bio_sequences(3, 100)
+    assert len(s3) == 13
+    assert set(s3) == {
+        "BBB", "BBI", "BBO", "BIB", "BII", "BIO", "BOB", "BOO",
+        "OBB", "OBI", "OBO", "OOB", "OOO",
+    }
+
+
+# --- SmaphUtilsTest.testFindTokensPosition (:114-154) -----------------------
+def test_token_positions():
+    assert K.token_positions("all your base are belong to us.") == [
+        (0, 3), (4, 8), (9, 13), (14, 17), (18, 24), (25, 27), (28, 30)
+    ]
+    assert K.token_positions("  lulz   hahhh") == [(2, 6), (9, 14)]
+    assert K.token_positions("  lulz   hahhh  !! ") == [(2, 6), (9, 14)]
+
+
+# --- SmaphUtilsTest.testGetSegmentations (:156-230) -------------------------
+def test_segmentations():
+    query = "  all , 0your   base!!  "
+    segs = K.segmentations(query, 1000)
+    assert len(segs) == 13
+    as_strings = [[query[s:e] for s, e in seg] for seg in segs]
+    expected = [
+        ["all", "0your", "base"],
+        ["all", "0your   base"],
+        ["all", "0your"],
+        ["all , 0your", "base"],
+        ["all , 0your   base"],
+        ["all , 0your"],
+        ["all", "base"],
+        ["all"],
+        ["0your", "base"],
+        ["0your   base"],
+        ["0your"],
+        ["base"],
+        [],
+    ]
+    for e in expected:
+        assert e in as_strings, e
+
+
+# --- SmaphUtilsTest.testFindSegments (:232-249) -----------------------------
+def test_segments():
+    assert K.segments("  aaa bbb   ccc   ") == [
+        (2, 5), (6, 9), (12, 15), (2, 9), (6, 15), (2, 15)
+    ]
+
+
+# --- SmaphUtilsTest.testGetNonAlphanumericCharCount (:251-256) --------------
+def test_non_alnum_count():
+    assert K.non_alnum_count(" dd    34") == 0
+    assert K.non_alnum_count(" dd;34") == 1
+    assert K.non_alnum_count(" dd;34.)*&*+^") == 8
+
+
+# --- SmaphUtilsTest.testGetFragmentation (:279-301) -------------------------
+BOLDS_FRAG = [
+    "aaa", "aaa", "aaa bbb", "aaa bbb", "aaa bbb", "aaa",
+    "bbb aaa", "ccc", "ccc", "bbb",
+]
+
+
+def test_fragmentation():
+    assert K.fragmentation(BOLDS_FRAG, "aaa") == pytest.approx(1.0, abs=DELTA)
+    assert K.fragmentation(BOLDS_FRAG, "aaa ' bbb  ") == pytest.approx(3 / 7, abs=DELTA)
+    assert K.fragmentation(BOLDS_FRAG, "BBB aaa") == pytest.approx(1 / 5, abs=DELTA)
+    assert K.fragmentation(BOLDS_FRAG, "ccc") == pytest.approx(1.0, abs=DELTA)
+    assert K.fragmentation(BOLDS_FRAG, "bbb") == pytest.approx(1.0, abs=DELTA)
+
+
+# --- SmaphUtilsTest.testGetAggregation (:303-327) ---------------------------
+BOLDS_AGG = [
+    "aaa", "aaa", "aaa bbb", "aaa bbb", "aaa bbb", "aaa bbb ccc",
+    "aaa", "bbb aaa", "ccc", "ccc",
+]
+
+
+def test_aggregation():
+    assert K.aggregation(BOLDS_AGG, "aaa") == pytest.approx(3 / 8, abs=DELTA)
+    assert K.aggregation(BOLDS_AGG, "aaa ' bbb  ") == pytest.approx(3 / 4, abs=DELTA)
+    assert K.aggregation(BOLDS_AGG, "BBB aaa") == pytest.approx(1.0, abs=DELTA)
+    assert K.aggregation(BOLDS_AGG, "ccc") == pytest.approx(2 / 3, abs=DELTA)
+    assert K.aggregation(BOLDS_AGG, "bbb") == pytest.approx(0.0, abs=DELTA)
+    assert K.aggregation(BOLDS_AGG, "aaa   &^*# bbb CCC") == pytest.approx(1.0, abs=DELTA)
+
+
+# --- SmaphUtilsTest.testIsSubToken (:330-376) --------------------------------
+def test_is_sub_token():
+    t1 = ["aaa", "bbb", "ccc", "ddd", "eee"]
+    t2 = ["bbb", "ccc", "ddd"]
+    t3 = ["ccc", "eee"]
+    t4 = ["ccc", "ddd", "eee"]
+    t5 = ["aaa"]
+    for t in (t1, t2, t3, t4, t5):
+        assert not K.is_sub_token(t, t)
+    assert K.is_sub_token(t2, t1) and not K.is_sub_token(t1, t2)
+    assert not K.is_sub_token(t3, t1) and not K.is_sub_token(t1, t3)
+    assert K.is_sub_token(t4, t1) and not K.is_sub_token(t1, t4)
+    assert K.is_sub_token(t5, t1) and not K.is_sub_token(t1, t5)
+    assert not K.is_sub_token(t3, t2) and not K.is_sub_token(t2, t3)
+
+
+# --- SmaphUtilsTest.testCollapseBinding (:378-480) ---------------------------
+def test_collapse_binding():
+    res = K.collapse_binding([(2, 4, 111, 0.5), (10, 4, 111, 1.0), (20, 4, 111, 0.0)])
+    assert res == [(2, 22, 111, pytest.approx(0.5, abs=DELTA))]
+
+    res = K.collapse_binding(
+        [(2, 4, 111, 0.0), (10, 4, 111, 0.0), (12, 4, 111, 1.0), (20, 4, 111, 1.0),
+         (30, 4, 222, 0.7), (40, 4, 333, 0.5), (50, 4, 333, 0.0)]
+    )
+    assert len(res) == 3
+    assert res[0] == (2, 22, 111, pytest.approx(0.5, abs=DELTA))
+    assert res[1] == (30, 4, 222, pytest.approx(0.7, abs=DELTA))
+    assert res[2] == (40, 14, 333, pytest.approx(0.25, abs=DELTA))
+
+    res = K.collapse_binding(
+        [(2, 4, 111, 0.7), (20, 4, 222, 0.1), (30, 4, 222, 0.3),
+         (40, 4, 333, 0.3), (50, 4, 333, 0.5)]
+    )
+    assert res == [
+        (2, 4, 111, pytest.approx(0.7, abs=DELTA)),
+        (20, 14, 222, pytest.approx(0.2, abs=DELTA)),
+        (40, 14, 333, pytest.approx(0.4, abs=DELTA)),
+    ]
+
+    res = K.collapse_binding(
+        [(2, 4, 111, 0.3), (20, 4, 222, 0.0), (30, 4, 222, 1.0),
+         (40, 4, 333, 0.5), (50, 4, 333, 0.7), (55, 4, 444, 0.9)]
+    )
+    assert res == [
+        (2, 4, 111, pytest.approx(0.3, abs=DELTA)),
+        (20, 14, 222, pytest.approx(0.5, abs=DELTA)),
+        (40, 14, 333, pytest.approx(0.6, abs=DELTA)),
+        (55, 4, 444, pytest.approx(0.9, abs=DELTA)),
+    ]
+
+
+# --- SmaphUtilsTest.testTokenize (:482-507) ----------------------------------
+def test_tokenize():
+    for s in ("aaa   bbb     ccc", "\taaa   bbb     ccc",
+              "aaa   bbb     ccc\n", "aaa   bbb \t\t\nccc\n"):
+        assert K.tokenize(s) == ["aaa", "bbb", "ccc"]
+    assert K.tokenize("\t\t\n") == []
+    assert K.tokenize("\t\t\naaa") == ["aaa"]
+    assert K.tokenize("aaa\t\t\n") == ["aaa"]
+    assert K.tokenize("aaa") == ["aaa"]
+
+
+# --- SmaphUtilsTest.testRemoveTrailingParenthetical (:510-516) ----------------
+def test_strip_parenthetical():
+    assert K.strip_parenthetical("Maradona (Philosophy)") == "Maradona"
+    assert K.strip_parenthetical("Maradona") == "Maradona"
+    assert K.strip_parenthetical("Maradona  (Player)") == "Maradona"
+    assert K.strip_parenthetical("Maradona (aaa)  (Player)") == "Maradona (aaa)"
+
+
+# --- SmaphUtilsTest.testFindSegmentsStrings (:518-530) ------------------------
+def test_segments_strings():
+    assert K.segments_strings("  ;;;aaa bbb   ,., ccc") == [
+        "aaa", "aaa bbb", "aaa bbb ccc", "bbb", "bbb ccc", "ccc"
+    ]
+
+
+# --- AdvancedAnnotationFeaturePackTest.testExpandedMention (:21-50) -----------
+def test_expanded_mention():
+    em = K.expanded_mention
+    assert em("bbb", 0, 3, False) is None
+    assert em("bbb", 0, 3, True) is None
+    assert em("aa;bbb cc", 3, 6, False) is None
+    assert em("aa;bbb cc", 3, 6, True) is None
+    assert em("aaa;bbb ccc", 4, 7, False) == "aaa bbb"
+    assert em("aaa;bbb ccc", 4, 7, True) == "bbb ccc"
+    assert em("aaa aaaa;bbb cccc aaa", 9, 12, False) == "aaaa bbb"
+    assert em("aaa aaaa;bbb cccc aaa", 9, 12, True) == "bbb cccc"
+    assert em("a a;bbb c c", 4, 7, False) is None
+    assert em("a a;bbb c c", 4, 7, True) is None
+    assert em("a a a;bbb c*c*c", 6, 9, False) == "a a a bbb"
+    assert em("a a a;bbb c*c*c", 6, 9, True) == "bbb c c c"
+    assert em("a aa;bbb c*cc", 5, 8, False) == "a aa bbb"
+    assert em("a aa;bbb c*cc", 5, 8, True) == "bbb c cc"
+    assert em("a a a a;bbb c c c c", 8, 11, False) == "a a a bbb"
+    assert em("a a a a;bbb c c c c", 8, 11, True) == "bbb c c c"
+    assert em("**bbb;;", 2, 5, False) is None
+    assert em("**bbb;;", 2, 5, True) is None
+    assert em("+++a a;bbb c c+++", 7, 10, False) is None
+    assert em("+++a a;bbb c c+++", 7, 10, True) is None
+    assert em("*aaa;bbb ccc*", 5, 8, False) == "aaa bbb"
+    assert em("*aaa;bbb ccc*", 5, 8, True) == "bbb ccc"
+    assert em(" a a a;bbb c*c*c*", 7, 10, False) == "a a a bbb"
+    assert em(" a a a;bbb c*c*c*", 7, 10, True) == "bbb c c c"
+
+
+# --- AdvancedAnnotationFeaturePackTest.testExpandibility (:52-101) ------------
+def test_expandibility():
+    ex = K.expandibility
+    q = "*aaa bbb ccc"
+    anchors = [("xxx", 1), ("bbb cc", 1), ("aaax bbb", 1)]
+    assert ex(q, 5, 8, anchors, True) == pytest.approx(3 / 6 - 1 / 7, abs=1e-6)
+    assert ex(q, 5, 8, anchors, False) == pytest.approx(3 / 6 - 1 / 8, abs=1e-6)
+
+    anchors = [("bbx", 1), ("bbb cc", 1), ("aaax bbb", 1)]
+    assert ex(q, 5, 8, anchors, True) == pytest.approx(1 / 3 - 1 / 7, abs=1e-6)
+    assert ex(q, 5, 8, anchors, False) == pytest.approx(1 / 3 - 1 / 8, abs=1e-6)
+
+    anchors = [("bbb", 1), ("bbb cc", 1), ("aaax bbb", 1)]
+    assert ex(q, 5, 8, anchors, True) == pytest.approx(0.0 - 1 / 7, abs=1e-6)
+    assert ex(q, 5, 8, anchors, False) == pytest.approx(0.0 - 1 / 8, abs=1e-6)
+
+    anchors = [("bbx", 1), ("zzz cc", 1), ("zzzz bbb", 1)]
+    assert ex(q, 5, 8, anchors, True) == pytest.approx(1 / 3 - 4 / 7, abs=1e-6)
+    assert ex(q, 5, 8, anchors, False) == pytest.approx(1 / 3 - 4 / 8, abs=1e-6)
+
+
+# --- misc kernels -------------------------------------------------------------
+def test_weighted_geometric_average():
+    # exp((ln 4 * 1 + ln 9 * 1)/2) = 6
+    assert K.weighted_geometric_average([4.0, 9.0], [1.0, 1.0]) == pytest.approx(6.0)
+
+
+def test_min_max_avg():
+    assert K.min_max_avg([]) == (0.0, 0.0, 0.0)
+    assert K.min_max_avg([1.0, 3.0, 2.0]) == (1.0, 3.0, 2.0)
+
+
+def test_accept_title():
+    assert K.accept_title("Neil Armstrong")
+    assert not K.accept_title("Talk: Moon")
+    assert not K.accept_title("List of moons")
+    assert not K.accept_title("Moon (disambiguation)")
+
+
+def test_jaro_winkler():
+    assert K.jaro_winkler("abc", "abc") == 1.0
+    assert K.jaro_winkler("", "abc") == 0.0
+    # classic published example
+    assert K.jaro_winkler("MARTHA", "MARHTA") == pytest.approx(0.9611, abs=1e-4)
+    assert K.jaro_winkler("DWAYNE", "DUANE") == pytest.approx(0.84, abs=1e-2)
+
+
+def test_shingles_jaccard():
+    a = K.shingles("the quick brown fox", 5)
+    b = K.shingles("the quick brown fox", 5)
+    assert a == b
+    assert K.jaccard(a, b) == 1.0
+    c = K.shingles("a completely different text", 5)
+    assert K.jaccard(a, c) < 0.2
+    assert K.jaccard(set(), set()) == 1.0
+    assert K.jaccard(a, set()) == 0.0
