@@ -1,0 +1,53 @@
+"""Pipeline configuration.
+
+One frozen dataclass carries every knob of the ER pipeline so that a
+config fingerprint can key resumable stage snapshots (north_rule:
+resumable from checkpoint). Defaults are sized for correctness at test
+scale and documented with their 100 TB-scale rationale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class ERConfig:
+    # --- content fingerprinting -------------------------------------------
+    shingle_k: int = 7          # char-shingle width over normalized content
+    num_minhash: int = 128      # minhash permutations (std of J-estimate ~0.04)
+    lsh_bands: int = 16         # bands of rows_per_band rows each
+    # rows_per_band = num_minhash // lsh_bands = 8 → LSH s-curve threshold
+    # (1/16)^(1/8) ≈ 0.71 — tuned for "same file, light mutations" dups
+    minhash_seed: int = 0x5A17  # deterministic hash family (north_rule)
+
+    # --- blocking ----------------------------------------------------------
+    use_name_blocking: bool = True   # (lang, basename-stem) key family
+    use_lsh_blocking: bool = True    # minhash band key family
+    max_block_size: int = 200        # hot-key cap: blocks above this are
+                                     # salted into sub-blocks (quadratic
+                                     # pair-join guard; drops are logged)
+    block_salt_buckets: int = 16     # sub-buckets for oversized blocks
+
+    # --- pair scoring -------------------------------------------------------
+    match_threshold: float = 0.60    # accept pair iff score >= threshold
+    sha_equal_shortcut: bool = True  # identical sha256 ⇒ match (exact dups)
+
+    # --- clustering ----------------------------------------------------------
+    cc_max_iterations: int = 20      # hash-min CC bound (~cluster diameter)
+    cc_checkpoint_every: int = 3     # truncate lineage every k iterations
+
+    # --- execution ------------------------------------------------------------
+    pair_repartition: int | None = None  # override shuffle width for the
+                                         # block self-join (None → session)
+
+    def fingerprint(self) -> str:
+        payload = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.sha256(payload).hexdigest()[:16]
+
+    @property
+    def rows_per_band(self) -> int:
+        assert self.num_minhash % self.lsh_bands == 0
+        return self.num_minhash // self.lsh_bands

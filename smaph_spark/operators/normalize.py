@@ -1,0 +1,134 @@
+"""Stage 1 — per-record normalization and content fingerprinting.
+
+Replaces the reference's candidate-source preprocessing (bold
+extraction + wiki-id prefetch, SmaphAnnotator.java:300-413) with a
+single narrow pass over `files`:
+
+* ``record_id``   = xxhash64(repo, path, commit)  (JVM, codegen)
+* ``content_sha`` = sha2(content, 256) — the per-row invariant checked
+  after every stage (BASELINE.json input_hint)
+* ``minhash``     = 128 seeded min-hashes of the char-shingle set of
+  the whitespace-normalized content (Arrow-batched numpy UDF; the
+  rolling hash and the permutation mins are vectorized across each
+  Arrow batch — no per-row Python at the Spark row level)
+* ``bands``       = LSH band keys derived from ``minhash``
+
+Everything else (name/path features) is pure `pyspark.sql.functions`,
+kept inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from smaph_spark.config import ERConfig
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _hash_family(num: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic multiply-add family over uint64 (north_rule:
+    seeded hash families so blocking is reproducible across runs and
+    cluster sizes)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 61, size=num, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 1 << 61, size=num, dtype=np.uint64)
+    return a, b
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """uint64 rolling polynomial hashes of all k-char shingles,
+    vectorized over positions (k numpy ops, no per-char Python)."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    n = data.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    if n < k:
+        h = np.uint64(0)
+        B = np.uint64(1099511628211)  # FNV prime
+        for j in range(n):
+            h = h * B + data[j]
+        return np.array([h], dtype=np.uint64)
+    B = np.uint64(1099511628211)
+    m = n - k + 1
+    h = np.zeros(m, dtype=np.uint64)
+    for j in range(k):
+        h = h * B + data[j : j + m]
+    return h
+
+
+def make_minhash_udf(cfg: ERConfig):
+    """Pandas UDF: norm_content -> struct(minhash array<long>,
+    bands array<long>). Band key b = xxhash-style mix of the band's
+    rows, offset by the band index so families don't collide."""
+    num, bands, rpb = cfg.num_minhash, cfg.lsh_bands, cfg.rows_per_band
+    k = cfg.shingle_k
+    a_co, b_co = _hash_family(num, cfg.minhash_seed)
+    band_a, band_b = _hash_family(bands, cfg.minhash_seed ^ 0xB00C)
+
+    out_type = T.StructType(
+        [
+            T.StructField("minhash", T.ArrayType(T.LongType()), False),
+            T.StructField("bands", T.ArrayType(T.LongType()), False),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def minhash_udf(content: pd.Series) -> pd.DataFrame:
+        n = len(content)
+        mh = np.empty((n, num), dtype=np.uint64)
+        for i, text in enumerate(content):
+            sh = _shingle_hashes(text if text is not None else "", k)
+            if sh.shape[0] == 0:
+                mh[i, :] = np.uint64(0xFFFFFFFFFFFFFFFF)
+                continue
+            # (S,) x (num,) permutation mins; chunk to bound the temp
+            best = np.full(num, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+            step = max(1, (1 << 20) // max(num, 1))
+            for s0 in range(0, sh.shape[0], step):
+                chunk = sh[s0 : s0 + step, None] * a_co[None, :] + b_co[None, :]
+                np.minimum(best, chunk.min(axis=0), out=best)
+            mh[i, :] = best
+        # band keys: mix the rows of each band into one 64-bit key
+        bands_keys = np.empty((n, bands), dtype=np.uint64)
+        folded = mh.reshape(n, bands, rpb)
+        acc = np.zeros((n, bands), dtype=np.uint64)
+        PRIME = np.uint64(0x9E3779B97F4A7C15)
+        for r in range(rpb):
+            acc = (acc ^ folded[:, :, r]) * PRIME
+        bands_keys = acc * band_a[None, :] + band_b[None, :]
+        return pd.DataFrame(
+            {
+                "minhash": list(mh.view(np.int64)),
+                "bands": list(bands_keys.view(np.int64)),
+            }
+        )
+
+    return minhash_udf
+
+
+def normalize_files(files: DataFrame, cfg: ERConfig) -> DataFrame:
+    """files(repo,path,commit,lang,content) -> + record_id, content_sha,
+    name, n_chars, n_tokens, minhash, bands. Narrow (no shuffle)."""
+    minhash_udf = make_minhash_udf(cfg)
+    norm_content = F.lower(F.regexp_replace(F.col("content"), r"\s+", " "))
+    base = (
+        files.withColumn("record_id", F.xxhash64("repo", "path", "commit"))
+        .withColumn("content_sha", F.sha2(F.col("content"), 256))
+        .withColumn("basename", F.element_at(F.split(F.col("path"), "/"), -1))
+        .withColumn(
+            "name",
+            F.lower(F.regexp_replace(F.col("basename"), r"\.[A-Za-z0-9]+$", "")),
+        )
+        .withColumn("n_chars", F.length("content"))
+        .withColumn("n_tokens", F.size(F.split(F.trim(F.col("content")), r"\s+")))
+        .withColumn("_fp", minhash_udf(norm_content))
+        .withColumn("minhash", F.col("_fp.minhash"))
+        .withColumn("bands", F.col("_fp.bands"))
+        .drop("_fp")
+    )
+    return base

@@ -1,0 +1,144 @@
+"""Stage 3 — block-local pair generation + pair feature extraction.
+
+THE pair-generation join of the ER pipeline (SURVEY §2.3 J4): the
+analogue of the reference's segment × entity cross join
+(IndividualLinkback.getAnnotations, linkback/IndividualLinkback.java:
+43-67) — equi-join on the blocking key, theta (<) on record ids to
+canonicalize/dedup, then the feature pack.
+
+Feature pack mirrors the reference's fixed-schema discipline
+(EntityFeaturePack.java:33-74 — static feature-name array, checked):
+FEATURE_COLS is the single source of truth for the scorer schema.
+
+JVM-vs-Python split: the minhash Jaccard estimate, size ratios, lang
+and sha equality are pure `pyspark.sql.functions` (whole-stage
+codegen); only the two string-edit kernels (Jaro-Winkler on names,
+normalized Levenshtein on paths) cross into Arrow-batched numpy
+(functions/kernels.py, batch-vectorized DP).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from smaph_spark.config import ERConfig
+from smaph_spark.functions import kernels as K
+
+#: fixed feature schema (name discipline per EntityFeaturePack.java:251-272)
+FEATURE_COLS = [
+    "jaccard_est",   # minhash agreement rate ≈ content shingle Jaccard
+    "name_jw",       # Jaro-Winkler similarity of basename stems
+    "path_ned",      # normalized Levenshtein distance of full paths
+    "size_ratio",    # min(n_chars)/max(n_chars)
+    "token_ratio",   # min(n_tokens)/max(n_tokens)
+    "same_lang",     # 1.0 iff same language
+    "sha_eq",        # 1.0 iff identical content sha256 (exact dup)
+]
+
+
+@F.pandas_udf(T.DoubleType())
+def _jw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(K.jaro_winkler_batch(a.to_numpy(), b.to_numpy()))
+
+
+@F.pandas_udf(T.DoubleType())
+def _ned_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(K.norm_edit_distance_batch(a.to_numpy(), b.to_numpy()))
+
+
+def generate_pairs(salted_blocks: DataFrame, cfg: ERConfig) -> DataFrame:
+    """salted_blocks(join_key, block_key, record_id) ->
+    pairs(left_id, right_id, block_key).
+
+    Self-equi-join on the salted key; `<` dedups the unordered pair
+    inside a block; dropDuplicates dedups across key families (J1).
+    block_key kept = the first key (min) that produced the pair, for
+    the same-block pairwise-F1 contract.
+    """
+    left = salted_blocks.select(
+        F.col("join_key"),
+        F.col("block_key"),
+        F.col("record_id").alias("left_id"),
+    )
+    right = salted_blocks.select(
+        F.col("join_key"), F.col("record_id").alias("right_id")
+    )
+    pairs = (
+        left.join(right, "join_key")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .groupBy("left_id", "right_id")
+        .agg(F.min("block_key").alias("block_key"))
+    )
+    return pairs
+
+
+def attach_pair_features(
+    pairs: DataFrame, normalized: DataFrame, cfg: ERConfig
+) -> DataFrame:
+    """pairs + the per-record payload -> scored-ready feature pack."""
+    payload = normalized.select(
+        "record_id", "path", "name", "lang", "content_sha",
+        "n_chars", "n_tokens", "minhash",
+    )
+    l = payload.select([F.col(c).alias(f"l_{c}") for c in payload.columns])
+    r = payload.select([F.col(c).alias(f"r_{c}") for c in payload.columns])
+    df = (
+        pairs.join(l, pairs.left_id == l.l_record_id)
+        .join(r, pairs.right_id == r.r_record_id)
+        .drop("l_record_id", "r_record_id")
+    )
+    # minhash agreement rate — JVM-side zip_with + aggregate (codegen)
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("l_minhash"),
+            F.col("r_minhash"),
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    # try_divide: empty/null content makes the denominators 0 — ANSI mode
+    # (Spark 4 default) would throw DIVIDE_BY_ZERO on plain `/`
+    df = (
+        df.withColumn(
+            "jaccard_est",
+            F.coalesce(
+                F.try_divide(
+                    agree.cast("double"), F.size("l_minhash").cast("double")
+                ),
+                F.lit(0.0),
+            ),
+        )
+        .withColumn("name_jw", _jw_udf("l_name", "r_name"))
+        .withColumn("path_ned", _ned_udf("l_path", "r_path"))
+        .withColumn(
+            "size_ratio",
+            F.coalesce(
+                F.try_divide(
+                    F.least("l_n_chars", "r_n_chars").cast("double"),
+                    F.greatest("l_n_chars", "r_n_chars").cast("double"),
+                ),
+                F.lit(0.0),
+            ),
+        )
+        .withColumn(
+            "token_ratio",
+            F.coalesce(
+                F.try_divide(
+                    F.least("l_n_tokens", "r_n_tokens").cast("double"),
+                    F.greatest("l_n_tokens", "r_n_tokens").cast("double"),
+                ),
+                F.lit(0.0),
+            ),
+        )
+        .withColumn(
+            "same_lang", (F.col("l_lang") == F.col("r_lang")).cast("double")
+        )
+        .withColumn(
+            "sha_eq", (F.col("l_content_sha") == F.col("r_content_sha")).cast("double")
+        )
+    )
+    return df.select("left_id", "right_id", "block_key", *FEATURE_COLS)

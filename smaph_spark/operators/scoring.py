@@ -1,0 +1,158 @@
+"""Stage 4 — pairwise scoring + match filtering.
+
+Reference analogue: per-candidate feature pack → z-score normalize →
+RBF-SVM accept/reject (SmaphAnnotator.java:208-216,
+LibSvmEntityFilter.java:64-67). Per the north_star the SVM becomes a
+gradient-boosted pairwise scorer (pyspark.ml GBTClassifier — scoring
+happens JVM-side in the fitted model's transform, no Python in the hot
+path), with a deterministic rule-based scorer as the untrained
+fallback. The z-score normalizer keeps the reference's degenerate-σ
+rule (σ=0 → x−μ; ZScoreFeatureNormalizer.java:77-92), and the
+acceptance threshold is tuned with the reference's plateau-midpoint
+sweep (ParameterTester.java:202-253).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from smaph_spark.config import ERConfig
+from smaph_spark.operators.pairs import FEATURE_COLS
+
+# deterministic fallback weights: content similarity dominates; name and
+# path catch renamed near-identical files; sha short-circuits exact dups
+_RULE_WEIGHTS = {
+    "jaccard_est": 0.62,
+    "name_jw": 0.12,
+    "size_ratio": 0.08,
+    "token_ratio": 0.08,
+    "same_lang": 0.10,
+}
+
+
+def rule_score(pairs_feat: DataFrame, cfg: ERConfig) -> DataFrame:
+    """Deterministic weighted score in [0,1] (+ sha shortcut)."""
+    expr = None
+    for c, w in _RULE_WEIGHTS.items():
+        term = F.col(c) * F.lit(w)
+        expr = term if expr is None else expr + term
+    score = F.when(
+        (F.col("sha_eq") == 1.0) & F.lit(cfg.sha_equal_shortcut), F.lit(1.0)
+    ).otherwise(expr)
+    return pairs_feat.withColumn("score", score.cast("double"))
+
+
+def filter_matches(scored: DataFrame, cfg: ERConfig, threshold: float | None = None) -> DataFrame:
+    thr = cfg.match_threshold if threshold is None else threshold
+    return scored.withColumn("is_match", F.col("score") >= F.lit(thr))
+
+
+# ---------------------------------------------------------------------------
+# z-score normalizer (M1) — kept as an explicit (feature, mean, std) table
+# like the reference's .zscore files (ZScoreFeatureNormalizer.dump/load)
+# ---------------------------------------------------------------------------
+
+
+def fit_zscore(pairs_feat: DataFrame, feature_cols: list[str] | None = None) -> dict:
+    """Single-pass mean/std per feature (A8)."""
+    cols = feature_cols or FEATURE_COLS
+    aggs = []
+    for c in cols:
+        aggs += [F.avg(c).alias(f"{c}__mu"), F.stddev_pop(c).alias(f"{c}__sigma")]
+    row = pairs_feat.agg(*aggs).collect()[0].asDict()
+    return {
+        c: (row[f"{c}__mu"] or 0.0, row[f"{c}__sigma"] or 0.0) for c in cols
+    }
+
+
+def apply_zscore(df: DataFrame, stats: dict) -> DataFrame:
+    """(x−μ)/σ with the reference's degenerate rule: σ=0 → x−μ
+    (ZScoreFeatureNormalizer.java:77-92); unseen feature → 0.0."""
+    for c, (mu, sigma) in stats.items():
+        if c not in df.columns:
+            df = df.withColumn(c, F.lit(0.0))
+            continue
+        if sigma == 0.0:
+            df = df.withColumn(c, F.col(c) - F.lit(mu))
+        else:
+            df = df.withColumn(c, (F.col(c) - F.lit(mu)) / F.lit(sigma))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# GBT scorer (M2) — trained on labeled pairs; transform is JVM-side
+# ---------------------------------------------------------------------------
+
+
+def train_gbt_scorer(labeled_feat: DataFrame, feature_cols: list[str] | None = None,
+                     max_iter: int = 30, seed: int = 42):
+    """Fit a GBTClassifier on (features…, is_match). Returns the fitted
+    pipeline model; scoring via :func:`gbt_score`."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import GBTClassifier
+    from pyspark.ml.feature import VectorAssembler
+
+    cols = feature_cols or FEATURE_COLS
+    assembler = VectorAssembler(inputCols=cols, outputCol="features")
+    gbt = GBTClassifier(
+        labelCol="label", featuresCol="features", maxIter=max_iter,
+        maxDepth=4, seed=seed,
+    )
+    train = labeled_feat.withColumn("label", F.col("is_match").cast("double"))
+    return Pipeline(stages=[assembler, gbt]).fit(train)
+
+
+def gbt_score(model, pairs_feat: DataFrame) -> DataFrame:
+    """Attach P(match) as `score` (second element of the probability
+    vector); JVM-side transform, Python never touches rows."""
+    from pyspark.ml.functions import vector_to_array
+
+    out = model.transform(pairs_feat)
+    return (
+        out.withColumn("score", vector_to_array(F.col("probability"))[1])
+        .drop("features", "rawPrediction", "probability", "prediction")
+    )
+
+
+def sweep_threshold(
+    scored_labeled: DataFrame, steps: int = 40
+) -> tuple[float, DataFrame]:
+    """Reference threshold sweep (W7, ParameterTester.java:202-253):
+    scan thresholds between the 5th and 95th percentile of POSITIVE
+    scores, compute pairwise F1 at each, return the midpoint of the
+    best plateau. One pass: crossJoin with the literal grid + groupBy.
+    """
+    qs = scored_labeled.filter(F.col("is_match_gold")).approxQuantile(
+        "score", [0.05, 0.95], 0.001
+    )
+    lo, hi = (qs + [0.0, 1.0])[:2] if len(qs) < 2 else qs
+    if hi <= lo:
+        lo, hi = max(0.0, lo - 0.05), min(1.0, lo + 0.05)
+    grid = [lo + (hi - lo) * i / (steps - 1) for i in range(steps)]
+    spark = scored_labeled.sparkSession
+    grid_df = spark.createDataFrame([(t,) for t in grid], ["thr"])
+
+    stats = (
+        scored_labeled.crossJoin(F.broadcast(grid_df))
+        .withColumn("pred", F.col("score") >= F.col("thr"))
+        .groupBy("thr")
+        .agg(
+            F.sum((F.col("pred") & F.col("is_match_gold")).cast("long")).alias("tp"),
+            F.sum((F.col("pred") & ~F.col("is_match_gold")).cast("long")).alias("fp"),
+            F.sum((~F.col("pred") & F.col("is_match_gold")).cast("long")).alias("fn"),
+        )
+        .withColumn(
+            "f1",
+            2 * F.col("tp")
+            / (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double"),
+        )
+        .orderBy("thr")
+    )
+    rows = stats.collect()
+    if not rows:
+        return 0.5, stats
+    best_f1 = max(r["f1"] for r in rows)
+    # plateau midpoint: middle threshold among those within 1e-9 of best
+    plateau = [r["thr"] for r in rows if abs(r["f1"] - best_f1) < 1e-9]
+    return plateau[len(plateau) // 2], stats

