@@ -1,38 +1,47 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: full ER pipeline (normalize → MinHash-LSH
+                 blocking → pair scoring → connected components) over
+                 the sf0.001 documents table.
+queries()      — named queries, one per operator class of SURVEY.md §2
+                 plus the training-data-pipeline ops (dedup, ANN,
+                 text analysis, multimodal plumbing).
+oracle_sql()   — DuckDB twins for every SQL-expressible query.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+# importing the ops modules populates the shared registry
+from smaph_spark.plans import star_queries  # noqa: E402
+from smaph_spark.ops import dedup, er_docs, multimodal, similarity, text  # noqa: F401,E402
+from smaph_spark.plans.star_queries import QUERIES  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return er_docs.er_document_clusters(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: spec.fn for name, spec in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twins (omitted for non-SQL-expressible
+    ops: MinHash/SimHash/hyperplane-LSH, winnowing fingerprints, the
+    stubbed multimodal decoder, and the full ER pipeline — the driver
+    records rows-only checks for those)."""
+    return {
+        name: spec.sql for name, spec in QUERIES.items() if spec.sql is not None
+    }

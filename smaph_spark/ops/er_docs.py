@@ -1,0 +1,81 @@
+"""Flagship: the full ER pipeline applied to the driver's `documents`
+table (documents → near-dup clusters). This is `entry(spark)`.
+
+documents rows are adapted to the files(repo,path,commit,lang,content)
+input shape (BASELINE.json input_hint): repo=source, path=doc_id,
+commit=md5(text), content=text — then the five pipeline stages run
+unchanged (normalize → block → pair → score → cluster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from smaph_spark.config import ERConfig
+from smaph_spark.pipeline import ERPipeline
+from smaph_spark.plans.star_queries import load, register
+
+_DOC_CFG = ERConfig(shingle_k=5, num_minhash=64, lsh_bands=16,
+                    match_threshold=0.55)
+
+
+def documents_as_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string"), F.lit(".txt")).alias("path"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("commit"),
+        F.col("lang"),
+        F.coalesce(F.col("text"), F.lit("")).alias("content"),
+        F.col("doc_id"),
+    )
+
+
+def run_document_er(spark: SparkSession, sf_dir: str):
+    files = documents_as_files(spark, sf_dir)
+    pipe = ERPipeline(spark, _DOC_CFG)
+    res = pipe.run(files.drop("doc_id"))
+    id_map = files.select(
+        F.xxhash64("repo", "path", "commit").alias("record_id"), "doc_id"
+    )
+    return res, id_map
+
+
+@register(
+    "er01_document_clusters",
+    None,  # full ER pipeline (MinHash blocking) — rows-only check
+    survey_ref="flagship: SURVEY §3.1 lifecycle over documents",
+)
+def er_document_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res, id_map = run_document_er(spark, sf_dir)
+    return (
+        res.clusters.join(id_map, "record_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.min("doc_id").alias("canonical_doc"),
+            F.sort_array(F.collect_list("doc_id")).alias("member_docs"),
+        )
+        .select("canonical_doc", "cluster_size", "member_docs")
+    )
+
+
+@register(
+    "er02_document_match_pairs",
+    None,  # scored pairs from the ER pipeline — rows-only check
+    survey_ref="pairs_scored output (ScoredAnnotation analogue, SURVEY §1.2)",
+)
+def er_document_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res, id_map = run_document_er(spark, sf_dir)
+    l = id_map.select(F.col("record_id").alias("left_id"), F.col("doc_id").alias("a_doc"))
+    r = id_map.select(F.col("record_id").alias("right_id"), F.col("doc_id").alias("b_doc"))
+    return (
+        res.matches.join(l, "left_id")
+        .join(r, "right_id")
+        .select(
+            F.least("a_doc", "b_doc").alias("a_doc"),
+            F.greatest("a_doc", "b_doc").alias("b_doc"),
+            F.round("score", 4).alias("score"),
+        )
+    )

@@ -1,0 +1,127 @@
+"""Training-data ops: LSH recall vs brute force, SimHash sanity,
+multimodal plumbing, winnowing fingerprints, streaming smoke."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from smaph_spark.ops import multimodal, similarity
+from smaph_spark.plans.star_queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark):
+    """The LSH-bucketed ANN must recover most of the exact top-5."""
+    exact = {
+        (r["q_vec"], r["n_vec"])
+        for r in QUERIES["sim01_bruteforce_topk"].fn(spark, SF).collect()
+    }
+    approx = {
+        (r["q_vec"], r["n_vec"])
+        for r in QUERIES["sim02_lsh_topk"].fn(spark, SF).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH ANN recall {recall:.2f}"
+
+
+def test_simhash_identical_and_different(spark):
+    from smaph_spark.ops.dedup import _make_simhash_udf
+
+    sh = _make_simhash_udf()
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely unrelated words about spark shuffles and joins")],
+        ["id", "t"],
+    ).withColumn("sim", sh("t"))
+    rows = {r["id"]: r["sim"] for r in df.collect()}
+    assert rows[1] == rows[2]
+    assert bin(rows[1] ^ rows[3]).count("1") > 6
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"payload-a")), (2, bytearray(b"payload-b"))],
+        "doc_id long, payload binary",
+    )
+    out = multimodal.extract_features(df)
+    assert out.schema.simpleString() == (
+        "struct<doc_id:bigint,n_bytes:int,fake_width:int,fake_height:int,"
+        "feat_mean:double,decoder:string>"
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["n_bytes"] == 9
+    assert rows[1]["decoder"] == "stub-sha256"
+    # determinism
+    again = {r["doc_id"]: r for r in multimodal.extract_features(df).collect()}
+    assert rows[1]["feat_mean"] == again[1]["feat_mean"]
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+
+
+def test_fingerprint_properties(spark):
+    from smaph_spark.ops.text import make_fingerprint_udf
+
+    fp = make_fingerprint_udf()
+    df = spark.createDataFrame(
+        [(1, "a shared sentence with plenty of characters to fingerprint"),
+         (2, "a shared sentence with plenty of characters to fingerprint"),
+         (3, "short"), (4, "")],
+        ["id", "t"],
+    ).withColumn("f", fp("t"))
+    rows = {r["id"]: r["f"] for r in df.collect()}
+    assert rows[1] == rows[2] and len(rows[1]) > 0
+    assert rows[3] == [] and rows[4] == []
+
+
+def test_hyperplane_signature_similarity():
+    """Closer vectors share more signature bits (LSH property)."""
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal(64)
+    near = base + 0.05 * rng.standard_normal(64)
+    far = rng.standard_normal(64)
+    planes = rng.standard_normal((64, 32))
+
+    def sig(v):
+        return (v @ planes) > 0
+
+    ham_near = (sig(base) != sig(near)).sum()
+    ham_far = (sig(base) != sig(far)).sum()
+    assert ham_near < ham_far
+
+
+def test_streaming_hourly_counts_matches_batch(spark):
+    """Streaming twin produces the same rows as the batch query for
+    fully-closed windows (SURVEY §2.9 recast)."""
+    from smaph_spark.streaming.windows import (
+        run_to_memory,
+        streaming_hourly_event_counts,
+    )
+
+    # the streaming file source requires a DIRECTORY; stage a symlink
+    import os
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(f"{SF}/events.parquet", f"{stage}/events.parquet")
+    schema = spark.read.parquet(f"{SF}/events.parquet").schema
+    stream = streaming_hourly_event_counts(spark, stage, schema)
+    run_to_memory(stream, "stream_out")
+    got = {
+        (r["hour_start"], r["event_type"], r["n"])
+        for r in spark.sql("SELECT * FROM stream_out").collect()
+    }
+    batch_df = QUERIES["q19_hourly_event_counts"].fn(spark, SF)
+    # watermark may hold back the last (open) window — compare on the
+    # windows the stream emitted, and require substantial coverage
+    batch = {
+        (r["hour_start"], r["event_type"], r["n"]) for r in batch_df.collect()
+    }
+    assert got, "stream emitted nothing"
+    assert got <= batch
+    assert len(got) >= 0.8 * len(batch)
