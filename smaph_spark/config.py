@@ -42,6 +42,10 @@ class ERConfig:
     # --- execution ------------------------------------------------------------
     pair_repartition: int | None = None  # override shuffle width for the
                                          # block self-join (None → session)
+    broadcast_payload: bool = True       # broadcast the per-record pair
+                                         # payload into the feature joins
+                                         # (disable at >~1e9 records and
+                                         # bucket on record_id instead)
 
     def fingerprint(self) -> str:
         payload = json.dumps(asdict(self), sort_keys=True).encode()

@@ -77,21 +77,31 @@ def make_minhash_udf(cfg: ERConfig):
         ]
     )
 
+    # (num, step) layout keeps the temp L2-resident (128*512*8B =
+    # 512 KiB) AND makes the min-reduction contiguous (axis=1). A large
+    # row-major (step, num) temp with an axis-0 reduction is strided
+    # and DRAM-bound — measured to kill multi-core scaling outright.
+    # The permutation is multiply-only (odd multiplier => bijection
+    # mod 2^64); the additive constant of the family is unnecessary
+    # for min-wise hashing and would cost a second full pass.
+    step = 512
+
     @F.pandas_udf(out_type)
     def minhash_udf(content: pd.Series) -> pd.DataFrame:
         n = len(content)
         mh = np.empty((n, num), dtype=np.uint64)
+        buf = np.empty((num, step), dtype=np.uint64)
         for i, text in enumerate(content):
             sh = _shingle_hashes(text if text is not None else "", k)
             if sh.shape[0] == 0:
                 mh[i, :] = np.uint64(0xFFFFFFFFFFFFFFFF)
                 continue
-            # (S,) x (num,) permutation mins; chunk to bound the temp
             best = np.full(num, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
-            step = max(1, (1 << 20) // max(num, 1))
             for s0 in range(0, sh.shape[0], step):
-                chunk = sh[s0 : s0 + step, None] * a_co[None, :] + b_co[None, :]
-                np.minimum(best, chunk.min(axis=0), out=best)
+                c = sh[s0 : s0 + step]
+                b = buf[:, : c.shape[0]]
+                np.multiply(a_co[:, None], c[None, :], out=b)
+                np.minimum(best, b.min(axis=1), out=best)
             mh[i, :] = best
         # band keys: mix the rows of each band into one 64-bit key
         bands_keys = np.empty((n, bands), dtype=np.uint64)

@@ -19,6 +19,7 @@ normalized Levenshtein on paths) cross into Arrow-batched numpy
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -47,6 +48,17 @@ def _jw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 @F.pandas_udf(T.DoubleType())
 def _ned_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(K.norm_edit_distance_batch(a.to_numpy(), b.to_numpy()))
+
+
+@F.pandas_udf(T.DoubleType())
+def _minhash_agree_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Fraction of agreeing minhash slots ≈ shingle Jaccard. One numpy
+    compare per Arrow batch — Spark's higher-order array functions
+    (zip_with/aggregate) are interpreted per element and became the
+    pair-stage bottleneck at scale."""
+    A = np.stack(a.to_numpy())
+    B = np.stack(b.to_numpy())
+    return pd.Series((A == B).mean(axis=1))
 
 
 def generate_pairs(salted_blocks: DataFrame, cfg: ERConfig) -> DataFrame:
@@ -83,6 +95,12 @@ def attach_pair_features(
         "record_id", "path", "name", "lang", "content_sha",
         "n_chars", "n_tokens", "minhash",
     )
+    if cfg.broadcast_payload:
+        # map-side joins: the pairs table never shuffles its ~KB
+        # minhash payload through a sort-merge join. Right for payloads
+        # up to ~1 GB; at 10^12 rows set broadcast_payload=False and
+        # pre-bucket `normalized` on record_id instead.
+        payload = F.broadcast(payload)
     l = payload.select([F.col(c).alias(f"l_{c}") for c in payload.columns])
     r = payload.select([F.col(c).alias(f"r_{c}") for c in payload.columns])
     df = (
@@ -90,26 +108,13 @@ def attach_pair_features(
         .join(r, pairs.right_id == r.r_record_id)
         .drop("l_record_id", "r_record_id")
     )
-    # minhash agreement rate — JVM-side zip_with + aggregate (codegen)
-    agree = F.aggregate(
-        F.zip_with(
-            F.col("l_minhash"),
-            F.col("r_minhash"),
-            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
-        ),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
     # try_divide: empty/null content makes the denominators 0 — ANSI mode
     # (Spark 4 default) would throw DIVIDE_BY_ZERO on plain `/`
     df = (
         df.withColumn(
             "jaccard_est",
             F.coalesce(
-                F.try_divide(
-                    agree.cast("double"), F.size("l_minhash").cast("double")
-                ),
-                F.lit(0.0),
+                _minhash_agree_udf("l_minhash", "r_minhash"), F.lit(0.0)
             ),
         )
         .withColumn("name_jw", _jw_udf("l_name", "r_name"))

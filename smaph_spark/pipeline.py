@@ -103,8 +103,11 @@ class ERPipeline:
     def run(self, files: DataFrame, gold_pairs: DataFrame | None = None) -> PipelineResult:
         cfg = self.cfg
 
+        # content is consumed entirely inside stage 1 (sha + minhash);
+        # carrying the ~KB content column through persist/snapshot and
+        # the pair joins is pure bandwidth waste at scale
         normalized = self._load_or_compute(
-            "s1_normalized", lambda: normalize_files(files, cfg)
+            "s1_normalized", lambda: normalize_files(files, cfg).drop("content")
         )
         if self.checkpoint_dir is None:
             # single-action runs reuse the fingerprinted rows twice

@@ -312,6 +312,25 @@ def test_jaro_winkler():
     assert K.jaro_winkler("DWAYNE", "DUANE") == pytest.approx(0.84, abs=1e-2)
 
 
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(alphabet="abcdxy ._", max_size=16),
+    st.text(alphabet="abcdxy ._", max_size=16),
+)
+def test_jaro_winkler_batch_matches_scalar(a, b):
+    got = K.jaro_winkler_batch([a], [b])[0]
+    want = K.jaro_winkler(a, b)
+    assert got == pytest.approx(want, abs=1e-12)
+
+
+def test_jaro_winkler_batch_mixed():
+    a = ["MARTHA", "DWAYNE", "", "same", "abc", None]
+    b = ["MARHTA", "DUANE", "abc", "same", "", "abc"]
+    got = K.jaro_winkler_batch(a, b)
+    want = [K.jaro_winkler(x or "", y or "") for x, y in zip(a, b)]
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
 def test_shingles_jaccard():
     a = K.shingles("the quick brown fox", 5)
     b = K.shingles("the quick brown fox", 5)
