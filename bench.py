@@ -47,7 +47,7 @@ ER_BENCH = {"n_clusters": 6000, "avg_cluster_size": 3.0,
 
 def _corpus_path() -> str:
     key = "_".join(str(v) for v in ER_BENCH.values())
-    return f"/tmp/smaph_bench_corpus_{key}"
+    return f"/root/corpora/smaph_bench_corpus_{key}"
 
 
 def ensure_corpus(spark) -> str:
@@ -130,8 +130,10 @@ def main_er_only(cpus: int) -> None:
         extra_conf={"spark.driver.memory": "24g"},
     )
     corpus = os.environ.get("SMAPH_SCALING_CORPUS") or ensure_corpus(spark)
-    # warm-up pass amortizes JVM/Arrow init out of the measurement
-    run_er_job(spark, corpus)
+    # warm-up pass amortizes JVM/Arrow init out of the measurement;
+    # skippable for long jobs where init is <5% of a pass
+    if os.environ.get("SMAPH_SCALING_WARMUP", "1") != "0":
+        run_er_job(spark, corpus)
     best = None
     for _ in range(int(os.environ.get("SMAPH_SCALING_REPS", "2"))):
         er = run_er_job(spark, corpus)

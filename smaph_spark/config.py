@@ -46,6 +46,12 @@ class ERConfig:
                                          # payload into the feature joins
                                          # (disable at >~1e9 records and
                                          # bucket on record_id instead)
+    pair_minhash_width: int = 64         # signature slots carried into
+                                         # the pair join, as int32
+                                         # (J-estimate std = sqrt(J(1-J)/w);
+                                         # 64 → ≤0.063 — narrow payload
+                                         # dominates pair-stage shuffle
+                                         # volume at scale)
 
     def fingerprint(self) -> str:
         payload = json.dumps(asdict(self), sort_keys=True).encode()

@@ -52,13 +52,29 @@ def _ned_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 
 @F.pandas_udf(T.DoubleType())
 def _minhash_agree_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Fraction of agreeing minhash slots ≈ shingle Jaccard. One numpy
-    compare per Arrow batch — Spark's higher-order array functions
-    (zip_with/aggregate) are interpreted per element and became the
-    pair-stage bottleneck at scale."""
+    """Positional minhash agreement via numpy (used where the arrays
+    are already Python-side). For the hot pair path use
+    :func:`minhash_agreement_col` instead — it never leaves the JVM."""
     A = np.stack(a.to_numpy())
     B = np.stack(b.to_numpy())
     return pd.Series((A == B).mean(axis=1))
+
+
+def minhash_agreement_col(l: str, r: str):
+    """Minhash agreement rate as a pure JVM column expression:
+    |array_intersect| / |array|. For minhash signatures, shared values
+    across DIFFERENT permutation slots are ~impossible (64-bit values),
+    so set intersection equals positional agreement w.h.p. — and the
+    arrays stay inside whole-stage codegen instead of crossing Arrow
+    (20 GB of signature traffic at 10M pairs measured as the pair-stage
+    bottleneck)."""
+    return F.coalesce(
+        F.try_divide(
+            F.size(F.array_intersect(F.col(l), F.col(r))).cast("double"),
+            F.size(F.col(l)).cast("double"),
+        ),
+        F.lit(0.0),
+    )
 
 
 def generate_pairs(salted_blocks: DataFrame, cfg: ERConfig) -> DataFrame:
@@ -91,9 +107,20 @@ def attach_pair_features(
     pairs: DataFrame, normalized: DataFrame, cfg: ERConfig
 ) -> DataFrame:
     """pairs + the per-record payload -> scored-ready feature pack."""
+    # slim signature for the pair join: first `pair_minhash_width`
+    # slots truncated to int32 (equality-only use; 2^-32 collision
+    # odds). 64x4B = 256B/side vs the full 1KB signature — the payload
+    # bytes ARE the pair-stage shuffle volume at scale.
+    width = min(cfg.pair_minhash_width, cfg.num_minhash)
+    # mask to 31 bits BEFORE the int cast: ANSI mode turns a narrowing
+    # cast into CAST_OVERFLOW, not a truncation
+    sig = F.transform(
+        F.slice("minhash", 1, width),
+        lambda x: x.bitwiseAND(F.lit(0x7FFFFFFF)).cast("int"),
+    ).alias("minhash")
     payload = normalized.select(
         "record_id", "path", "name", "lang", "content_sha",
-        "n_chars", "n_tokens", "minhash",
+        "n_chars", "n_tokens", sig,
     )
     if cfg.broadcast_payload:
         # map-side joins: the pairs table never shuffles its ~KB
@@ -112,10 +139,7 @@ def attach_pair_features(
     # (Spark 4 default) would throw DIVIDE_BY_ZERO on plain `/`
     df = (
         df.withColumn(
-            "jaccard_est",
-            F.coalesce(
-                _minhash_agree_udf("l_minhash", "r_minhash"), F.lit(0.0)
-            ),
+            "jaccard_est", minhash_agreement_col("l_minhash", "r_minhash")
         )
         .withColumn("name_jw", _jw_udf("l_name", "r_name"))
         .withColumn("path_ned", _ned_udf("l_path", "r_path"))

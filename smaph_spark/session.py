@@ -25,9 +25,15 @@ def get_spark(
     if shuffle_partitions is None:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
         shuffle_partitions = cpus if n in ("", "*") else max(int(n), 4)
+    # keep shuffle/block-manager files out of /tmp: the sandbox runs a
+    # tmp reaper that deletes live temp_shuffle files mid-job (observed
+    # as DiskBlockObjectWriter delete errors + stalled stages)
+    local_dir = os.environ.get("SMAPH_SPARK_LOCAL_DIR", "/root/spark-local")
+    os.makedirs(local_dir, exist_ok=True)
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        .config("spark.local.dir", local_dir)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -81,6 +81,83 @@ def _mutate(rng: np.random.Generator, lines: list[str], lang: str, strength: int
     return out
 
 
+def _gen_cluster_rows(
+    seed: int,
+    ci: int,
+    n_lines: int,
+    mutation_strength: int,
+    singleton_fraction: float,
+    hot_path_fraction: float,
+) -> list[tuple[str, str, str, str, str, int]]:
+    """One cluster's rows, deterministically seeded by (seed, ci) so
+    generation parallelizes over clusters with identical output
+    regardless of partitioning."""
+    rng = np.random.default_rng([seed, ci])
+    if rng.random() < singleton_fraction:
+        size = 1
+    else:
+        size = min(2 + int(rng.zipf(2.2)), 24)
+    lang = _LANGS[int(rng.integers(0, len(_LANGS)))]
+    base = _base_content(rng, lang, n_lines)
+    stem = _ident(rng)
+    hot = rng.random() < hot_path_fraction
+    out = []
+    for m in range(size):
+        repo = f"org{int(rng.integers(0, 50))}/proj{int(rng.integers(0, 200))}"
+        if hot:
+            path = _HOT_PATHS[int(rng.integers(0, len(_HOT_PATHS)))]
+        else:
+            sub = ["src", "lib", "core", "util"][int(rng.integers(0, 4))]
+            path = f"{sub}/{stem}.{lang}"
+        commit = hashlib.sha1(f"{seed}:{ci}:{m}".encode()).hexdigest()
+        content = "\n".join(
+            base if m == 0 else _mutate(rng, base, lang, mutation_strength)
+        )
+        out.append((repo, path, commit, lang, content, ci))
+    return out
+
+
+def generate_files_corpus_spark(
+    spark,
+    n_clusters: int,
+    n_lines: int = 30,
+    mutation_strength: int = 3,
+    singleton_fraction: float = 0.5,
+    hot_path_fraction: float = 0.05,
+    seed: int = 42,
+):
+    """Distributed corpus generation: clusters fan out over executors
+    via mapInPandas (per-cluster rng → partitioning-independent
+    output). Returns a DataFrame(files + cluster_idx)."""
+    import pandas as pd  # noqa: F811
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for ci in pdf["id"]:
+                rows.extend(
+                    _gen_cluster_rows(
+                        seed, int(ci), n_lines, mutation_strength,
+                        singleton_fraction, hot_path_fraction,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["repo", "path", "commit", "lang", "content", "cluster_idx"],
+            )
+
+    cpus = spark.sparkContext.defaultParallelism
+    return (
+        spark.range(n_clusters)
+        .repartition(max(cpus * 4, 8))
+        .mapInPandas(
+            gen,
+            schema="repo string, path string, commit string, lang string, "
+            "content string, cluster_idx long",
+        )
+    )
+
+
 def generate_files_corpus(
     n_clusters: int = 100,
     avg_cluster_size: float = 3.0,
