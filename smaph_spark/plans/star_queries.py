@@ -643,6 +643,26 @@ def q19(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @register(
+    "q21_order_key_lists",
+    """
+    SELECT o_custkey,
+           array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS order_keys,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+    survey_ref="S6 grouped-array ETL (EntityToAnchors.createDB:78-158 collect_list)",
+)
+def q21(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.array_join(
+            F.sort_array(F.collect_list("o_orderkey")), ","
+        ).alias("order_keys"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
     "q20_doc_block_pairs",
     """
     WITH d AS (SELECT doc_id, lang, CAST(FLOOR(n_chars / 100) AS BIGINT) AS bucket

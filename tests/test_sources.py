@@ -1,0 +1,62 @@
+"""Source/sink coverage (SURVEY §2.1): CSV scan with explicit schema
+(S6 TSV ETL shape), JSON sink + scan (S10 NIF/JSON result sink), and
+parquet roundtrip with partition pruning."""
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def test_csv_tsv_roundtrip_grouped_etl(spark, tmp_path):
+    """The e2a batch ETL shape (EntityToAnchors.createDB:78-158):
+    TSV(anchor, entity, freq) -> groupBy(entity).collect_list."""
+    path = str(tmp_path / "anchors_tsv")
+    rows = [("rome", 10, 5), ("roma", 10, 3), ("paris", 20, 7)]
+    spark.createDataFrame(rows, ["anchor", "entity", "freq"]).write.option(
+        "sep", "\t"
+    ).mode("overwrite").csv(path)
+
+    schema = T.StructType([
+        T.StructField("anchor", T.StringType()),
+        T.StructField("entity", T.IntegerType()),
+        T.StructField("freq", T.IntegerType()),
+    ])
+    back = spark.read.schema(schema).option("sep", "\t").csv(path)
+    e2a = (
+        back.groupBy("entity")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("anchor", "freq"))).alias("anchors"),
+            F.sum("freq").alias("total_freq"),
+        )
+        .orderBy("entity")
+        .collect()
+    )
+    assert e2a[0]["entity"] == 10 and e2a[0]["total_freq"] == 8
+    assert [a["anchor"] for a in e2a[0]["anchors"]] == ["roma", "rome"]
+
+
+def test_json_sink_and_scan(spark, tmp_path):
+    """S10: annotations -> JSON sink (SmaphServlet.java:93-107)."""
+    path = str(tmp_path / "annotations_json")
+    anns = spark.createDataFrame(
+        [(0, 9, 222, 1.0), (10, 12, 111, 0.8)],
+        ["position", "length", "entity", "score"],
+    )
+    anns.write.mode("overwrite").json(path)
+    back = spark.read.json(path)
+    assert back.count() == 2
+    assert {r["entity"] for r in back.collect()} == {111, 222}
+
+
+def test_partitioned_parquet_pruning(spark, tmp_path):
+    """Partition pruning: a lang=... filter must prune directories
+    (visible as PartitionFilters in the scan)."""
+    path = str(tmp_path / "files_part")
+    df = spark.createDataFrame(
+        [("a/b", "py", "x"), ("c/d", "md", "y"), ("e/f", "py", "z")],
+        ["path", "lang", "content"],
+    )
+    df.write.mode("overwrite").partitionBy("lang").parquet(path)
+    scan = spark.read.parquet(path).filter(F.col("lang") == "py")
+    assert scan.count() == 2
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
