@@ -91,8 +91,18 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    t = d.select("doc_id", "lang", "source", ngrams.alias("ngrams")).filter(
-        F.size(toks) >= 3
+    # hash n-grams to int64: array_intersect on longs is ~10x cheaper
+    # than on strings and the arrays shrink ~10x in bytes; set
+    # cardinalities (and hence Jaccard) are preserved w.h.p. (64-bit)
+    hashed = F.array_distinct(F.transform(ngrams, lambda s: F.xxhash64(s)))
+    # repartition on the block key: the exchange materializes the
+    # n-gram arrays ONCE and both self-join sides read the same shuffle
+    # output (ReusedExchange) — without it Catalyst inlines the n-gram
+    # generation into both sides and recomputes it per pair
+    t = (
+        d.select("doc_id", "lang", "source", hashed.alias("ngrams"))
+        .filter(F.size(toks) >= 3)
+        .repartition("lang", "source")
     )
     a = t.select(
         F.col("doc_id").alias("a_doc"), "lang", "source",
