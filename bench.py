@@ -8,8 +8,10 @@ corpus, and prints ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ..., "er_pairs_per_sec": ...}
 
---scaling mode: runs the identical ER job at local[8] and local[32]
-(the sandbox stand-in for N vs 4N executors per the north_rule) in
+--scaling mode: runs the identical ER job at local[4] and local[16]
+(the sandbox stand-in for N vs 4N executors per the north_rule;
+pandas-UDF stages need 2N real cores per local[N], so 4/16 is the
+largest oversubscription-free pair on this 32-core host) in
 separate subprocesses and reports both throughputs + scaling
 efficiency; results are appended to BENCH.md.
 """

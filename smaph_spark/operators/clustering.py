@@ -52,6 +52,8 @@ def connected_components(
     edges = edges.localCheckpoint(eager=True)
 
     history: list[dict] = []
+    prev_cached = None
+    changed = 0
     for it in range(cfg.cc_max_iterations):
         # candidate label per node: min over neighbours' labels
         neigh = (
@@ -68,18 +70,46 @@ def connected_components(
                 ).alias("new_cluster_id"),
                 F.col("cluster_id"),
             )
+        ).persist()
+        # ONE action per iteration: the agg materializes the persisted
+        # labels AND returns the convergence count (previously a
+        # .count() job plus a separate checkpoint job recomputed the
+        # same shuffle — the dominant per-iteration driver overhead)
+        changed = int(
+            new_labels.agg(
+                F.sum(
+                    (F.col("new_cluster_id") != F.col("cluster_id")).cast("long")
+                ).alias("c")
+            ).collect()[0]["c"]
+            or 0
         )
-        changed = new_labels.filter(
-            F.col("new_cluster_id") != F.col("cluster_id")
-        ).count()
         labels = new_labels.select(
             "record_id", F.col("new_cluster_id").alias("cluster_id")
         )
         if (it + 1) % cfg.cc_checkpoint_every == 0 or changed == 0:
+            # truncate lineage (plan growth, not recompute, is the cost
+            # once each step reads from the persisted parent)
             labels = labels.localCheckpoint(eager=True)
+            new_labels.unpersist()
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = new_labels
         history.append({"iteration": it, "label_changes": int(changed)})
         if changed == 0:
             break
+    if changed != 0:
+        # a transitive chain longer than cc_max_iterations hops would be
+        # silently split — surface it (ADVICE round 1)
+        import warnings
+
+        warnings.warn(
+            f"hash-min CC did not converge in {cfg.cc_max_iterations} "
+            f"iterations ({changed} labels still changing); clusters may "
+            "be split",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    history.append({"converged": changed == 0})
 
     if all_records is not None:
         labels = (

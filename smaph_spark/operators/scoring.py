@@ -144,8 +144,15 @@ def sweep_threshold(
         )
         .withColumn(
             "f1",
-            2 * F.col("tp")
-            / (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double"),
+            # try_divide: ANSI mode would throw on tp=fp=fn=0 (reachable
+            # when the labeled sample has no gold positives)
+            F.coalesce(
+                F.try_divide(
+                    2 * F.col("tp"),
+                    (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double"),
+                ),
+                F.lit(0.0),
+            ),
         )
         .orderBy("thr")
     )

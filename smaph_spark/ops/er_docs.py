@@ -55,7 +55,12 @@ def er_document_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("cluster_size"),
             F.min("doc_id").alias("canonical_doc"),
-            F.sort_array(F.collect_list("doc_id")).alias("member_docs"),
+            # comma-joined string, not array<long>: the driver's
+            # canonicalizer sorts rows pandas-side and lists are
+            # unhashable there (same pattern as q21, star_queries.py)
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")), ","
+            ).alias("member_docs"),
         )
         .select("canonical_doc", "cluster_size", "member_docs")
     )

@@ -24,9 +24,15 @@ def _dot(x, y):
 
 
 def _cosine(a_col: str, b_col: str):
-    return _dot(F.col(a_col), F.col(b_col)) / (
-        F.sqrt(_dot(F.col(a_col), F.col(a_col)))
-        * F.sqrt(_dot(F.col(b_col), F.col(b_col)))
+    # try_divide: a zero-norm embedding would raise DIVIDE_BY_ZERO under
+    # ANSI mode; define cos(0-vector, ·) = 0
+    return F.coalesce(
+        F.try_divide(
+            _dot(F.col(a_col), F.col(b_col)),
+            F.sqrt(_dot(F.col(a_col), F.col(a_col)))
+            * F.sqrt(_dot(F.col(b_col), F.col(b_col))),
+        ),
+        F.lit(0.0),
     )
 
 

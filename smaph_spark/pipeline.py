@@ -16,8 +16,10 @@ after every stage that carries content columns.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import re
 import time
 from dataclasses import dataclass, field
 
@@ -71,11 +73,40 @@ class ERPipeline:
         self._metrics: dict = {}
 
     # -- snapshot helpers ---------------------------------------------------
+    @staticmethod
+    def _input_fingerprint(files: DataFrame) -> str:
+        """Fingerprint the INPUT so snapshots are keyed by (config, data):
+        re-running the same config against a different --input must not
+        resume stale snapshots (round-1 ADVICE). File-backed sources use
+        the metadata-only inputFiles() list (no job); in-memory frames
+        fall back to the logical plan with volatile expr-ids stripped."""
+        try:
+            paths = sorted(files.inputFiles())
+        except Exception:
+            paths = []
+        if paths:
+            basis = ";".join(paths)
+        else:
+            # in-memory source (no backing files): plan strings are
+            # schema-only, so hash the content with one agg job —
+            # bit_xor is order-independent and can't overflow under
+            # ANSI mode; in-memory inputs are small by construction
+            row = files.select(
+                F.xxhash64(*files.columns).alias("h")
+            ).agg(
+                F.expr("bit_xor(h)").alias("x"), F.count("*").alias("n")
+            ).collect()[0]
+            plan = re.sub(r"#\d+", "", files._jdf.queryExecution().logical().toString())
+            basis = f"{plan}|{row['x']}|{row['n']}"
+        return hashlib.sha256(basis.encode()).hexdigest()[:12]
+
     def _stage_path(self, stage: str) -> str | None:
         if not self.checkpoint_dir:
             return None
         return os.path.join(
-            self.checkpoint_dir, f"fp={self.cfg.fingerprint()}", stage
+            self.checkpoint_dir,
+            f"fp={self.cfg.fingerprint()}-in={self._input_fp}",
+            stage,
         )
 
     def _load_or_compute(self, stage: str, compute) -> DataFrame:
@@ -102,6 +133,7 @@ class ERPipeline:
     # -- stages ----------------------------------------------------------------
     def run(self, files: DataFrame, gold_pairs: DataFrame | None = None) -> PipelineResult:
         cfg = self.cfg
+        self._input_fp = self._input_fingerprint(files)
 
         # content is consumed entirely inside stage 1 (sha + minhash);
         # carrying the ~KB content column through persist/snapshot and

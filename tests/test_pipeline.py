@@ -107,6 +107,23 @@ def test_checkpoint_resume_reproduces(spark, corpus, tmp_path_factory):
     assert first == second
 
 
+def test_checkpoint_not_resumed_for_different_input(spark, corpus, tmp_path_factory):
+    """Snapshots are keyed by (config, input): same config + same
+    checkpoint_dir but a DIFFERENT input must recompute, not silently
+    resume the previous dataset's stages (round-1 ADVICE)."""
+    files, _, _ = corpus
+    ckpt = str(tmp_path_factory.mktemp("er_ckpt_in"))
+    cfg = ERConfig()
+    ERPipeline(spark, cfg, checkpoint_dir=ckpt).run(files)
+    other_pdf, _, _ = generate_files_corpus(n_clusters=10, seed=999)
+    other = spark.createDataFrame(other_pdf)
+    pipe2 = ERPipeline(spark, cfg, checkpoint_dir=ckpt)
+    res2 = pipe2.run(other)
+    assert not pipe2.stage_metrics_resumed(), "different input must not resume"
+    # and the output belongs to the new input, not the old one
+    assert ERPipeline.verify_content_sha(other, res2.normalized) == 0
+
+
 def test_block_cap_metrics_logged(spark):
     """Oversized blocks are salted/dropped with logged counts, never
     silently (reference logs binding caps,
