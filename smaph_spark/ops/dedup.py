@@ -19,8 +19,32 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from smaph_spark.config import ERConfig
+from smaph_spark.operators.blocking import cap_and_salt_blocks
 from smaph_spark.operators.normalize import make_minhash_udf
 from smaph_spark.plans.star_queries import load, register
+
+
+def cap_band_keys(
+    keys: DataFrame, cfg: ERConfig, key_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Hot-key guard for standalone band self-joins (round-1 VERDICT:
+    dd03/dd04 skipped the ER pipeline's skew cap, so one degenerate
+    band key went quadratic). Reuses cap_and_salt_blocks (blocking.py):
+    oversized bands are salted into sub-buckets, pathological ones
+    dropped — both logged in the returned metrics frame (block_key,
+    n_records, action), never silently. Salting trades bounded recall
+    for a hard O(max_block_size²) per-band pair bound, same contract as
+    the ER blocking stage."""
+    blocks = keys.select(
+        F.col(key_col).alias("block_key"), F.col(id_col).alias("record_id")
+    )
+    salted, metrics = cap_and_salt_blocks(blocks, cfg)
+    return (
+        salted.select(
+            F.col("join_key").alias(key_col), F.col("record_id").alias(id_col)
+        ),
+        metrics,
+    )
 
 # ---------------------------------------------------------------------------
 # exact dedup — hash groupBy
@@ -96,30 +120,65 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cardinalities (and hence Jaccard) are preserved w.h.p. (64-bit)
     hashed = F.array_distinct(F.transform(ngrams, lambda s: F.xxhash64(s)))
     # repartition on the block key: the exchange materializes the
-    # n-gram arrays ONCE and both self-join sides read the same shuffle
-    # output (ReusedExchange) — without it Catalyst inlines the n-gram
-    # generation into both sides and recomputes it per pair
+    # n-gram arrays ONCE and every downstream consumer reads the same
+    # shuffle output (ReusedExchange) instead of regenerating n-grams
     t = (
         d.select("doc_id", "lang", "source", hashed.alias("ngrams"))
         .filter(F.size(toks) >= 3)
         .repartition("lang", "source")
     )
-    a = t.select(
-        F.col("doc_id").alias("a_doc"), "lang", "source",
-        F.col("ngrams").alias("a_ngrams"),
+    # --- PPJoin-style prefix filter (EXACT; Xiao et al., WWW'08) -----------
+    # Round 1 self-joined on (lang, source) alone — ~dozens of key
+    # values, so the join is all-pairs-per-block and quadratic at 100×.
+    # Candidate generation instead joins on a shared PREFIX n-gram:
+    # order each doc's n-grams by (block-local doc-frequency, hash) and
+    # keep the first |x| - ceil(t*|x|) + 1; any pair with Jaccard >= t
+    # provably shares a prefix token under a consistent order, and
+    # df-ascending ordering puts the RAREST n-grams in prefixes, so hot
+    # n-grams never become join keys. Jaccard on the full arrays stays
+    # as the exact rerank — the oracle is unchanged.
+    from pyspark.sql import Window as W
+
+    thr = 0.2
+    tok = t.select(
+        "doc_id", "lang", "source", F.size("ngrams").alias("n"),
+        F.explode("ngrams").alias("g"),
     )
-    b = t.select(
-        F.col("doc_id").alias("b_doc"), "lang", "source",
-        F.col("ngrams").alias("b_ngrams"),
+    dfreq = tok.groupBy("lang", "source", "g").agg(F.count("*").alias("df"))
+    pos = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("g"))
     )
+    prefix = (
+        tok.join(dfreq, ["lang", "source", "g"])
+        .withColumn("pos", pos)
+        .filter(F.col("pos") <= F.col("n") - F.ceil(F.lit(thr) * F.col("n")) + 1)
+        .select("doc_id", "lang", "source", "g")
+    )
+    cand = (
+        prefix.select(F.col("doc_id").alias("a_doc"), "lang", "source", "g")
+        .join(
+            prefix.select(F.col("doc_id").alias("b_doc"), "lang", "source", "g"),
+            ["lang", "source", "g"],
+        )
+        .filter(F.col("a_doc") < F.col("b_doc"))
+        .select("a_doc", "b_doc")
+        .distinct()
+    )
+    # exact rerank over the full n-gram sets
     inter = F.size(F.array_intersect("a_ngrams", "b_ngrams"))
     union = F.size("a_ngrams") + F.size("b_ngrams") - inter
-    jac = inter.cast("double") / union.cast("double")
+    jac = F.try_divide(inter.cast("double"), union.cast("double"))
     return (
-        a.join(b, ["lang", "source"])
-        .filter(F.col("a_doc") < F.col("b_doc"))
+        cand.join(
+            t.select(F.col("doc_id").alias("a_doc"), F.col("ngrams").alias("a_ngrams")),
+            "a_doc",
+        )
+        .join(
+            t.select(F.col("doc_id").alias("b_doc"), F.col("ngrams").alias("b_ngrams")),
+            "b_doc",
+        )
         .withColumn("jac_raw", jac)
-        .filter(F.col("jac_raw") >= 0.2)
+        .filter(F.col("jac_raw") >= thr)
         .select("a_doc", "b_doc", F.round("jac_raw", 4).alias("jac"))
     )
 
@@ -143,14 +202,14 @@ def _doc_minhash(spark: SparkSession, sf_dir: str, cfg: ERConfig) -> DataFrame:
     )
 
 
-@register(
-    "dd03_minhash_lsh_pairs",
-    None,  # MinHash is not SQL-expressible — rows-only check
-    survey_ref="S4/J4 MinHash-LSH blocking (north_star); deterministic seeds",
-)
-def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cfg = ERConfig(shingle_k=5, num_minhash=64, lsh_bands=16)
-    fp = _doc_minhash(spark, sf_dir, cfg)
+def minhash_lsh_pairs(
+    fp: DataFrame, cfg: ERConfig
+) -> tuple[DataFrame, DataFrame]:
+    """fp(doc_id, minhash, bands) -> (pairs, cap_metrics).
+
+    Band self-join guarded by the hot-key cap (cap_band_keys) so a
+    degenerate band key stays bounded; estimated Jaccard from the full
+    signatures is the rerank."""
     keys = fp.select(
         "doc_id",
         F.explode(
@@ -161,8 +220,11 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_key"),
     )
-    a = keys.select(F.col("doc_id").alias("a_doc"), "band_key")
-    b = keys.select(F.col("doc_id").alias("b_doc"), "band_key")
+    capped, cap_metrics = cap_band_keys(
+        keys, cfg, key_col="band_key", id_col="doc_id"
+    )
+    a = capped.select(F.col("doc_id").alias("a_doc"), "band_key")
+    b = capped.select(F.col("doc_id").alias("b_doc"), "band_key")
     cand = (
         a.join(b, "band_key")
         .filter(F.col("a_doc") < F.col("b_doc"))
@@ -173,13 +235,27 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pa = fp.select(F.col("doc_id").alias("a_doc"), F.col("minhash").alias("a_mh"))
     pb = fp.select(F.col("doc_id").alias("b_doc"), F.col("minhash").alias("b_mh"))
-    return (
+    pairs = (
         cand.join(pa, "a_doc")
         .join(pb, "b_doc")
         .withColumn("jaccard_est", _minhash_agree_udf("a_mh", "b_mh"))
         .filter(F.col("jaccard_est") >= 0.5)
         .select("a_doc", "b_doc", F.round("jaccard_est", 4).alias("jaccard_est"))
     )
+    return pairs, cap_metrics
+
+
+@register(
+    "dd03_minhash_lsh_pairs",
+    None,  # MinHash is not SQL-expressible — rows-only check
+    survey_ref="S4/J4 MinHash-LSH blocking (north_star); deterministic seeds",
+)
+def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfg = ERConfig(shingle_k=5, num_minhash=64, lsh_bands=16,
+                   max_block_size=500, block_salt_buckets=8)
+    fp = _doc_minhash(spark, sf_dir, cfg)
+    pairs, _ = minhash_lsh_pairs(fp, cfg)
+    return pairs
 
 
 # ---------------------------------------------------------------------------
@@ -221,6 +297,47 @@ def _fnv1a(s: str) -> int:
     return h
 
 
+def simhash_pairs(
+    sig: DataFrame, cfg: ERConfig, max_hamming: int = 6
+) -> tuple[DataFrame, DataFrame]:
+    """sig(doc_id, sim) -> (pairs, cap_metrics). Banded hamming join on
+    4×16-bit chunks, hot-chunk keys capped/salted like dd03."""
+    chunks = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{c}:"),
+                        F.shiftrightunsigned("sim", 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .cast("string"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_key"),
+    )
+    capped, cap_metrics = cap_band_keys(
+        chunks, cfg, key_col="chunk_key", id_col="doc_id"
+    )
+    a = capped.join(sig, "doc_id").select(
+        F.col("doc_id").alias("a_doc"), F.col("sim").alias("a_sim"), "chunk_key"
+    )
+    b = capped.join(sig, "doc_id").select(
+        F.col("doc_id").alias("b_doc"), F.col("sim").alias("b_sim"), "chunk_key"
+    )
+    ham = F.bit_count(F.col("a_sim").bitwiseXOR(F.col("b_sim")))
+    pairs = (
+        a.join(b, "chunk_key")
+        .filter(F.col("a_doc") < F.col("b_doc"))
+        .select("a_doc", "b_doc", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs, cap_metrics
+
+
 @register(
     "dd04_simhash_pairs",
     None,  # rows-only
@@ -230,31 +347,9 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     sh = _make_simhash_udf()
     sig = d.select("doc_id", sh("text").alias("sim"))
-    # band on 4 x 16-bit chunks: pairs agreeing on >= 1 chunk are candidates
-    chunks = sig.select(
-        "doc_id", "sim",
-        F.explode(
-            F.array(
-                *[
-                    F.concat(
-                        F.lit(f"{c}:"),
-                        F.shiftrightunsigned("sim", 16 * c).bitwiseAND(F.lit(0xFFFF)).cast("string"),
-                    )
-                    for c in range(4)
-                ]
-            )
-        ).alias("chunk_key"),
-    )
-    a = chunks.select(F.col("doc_id").alias("a_doc"), F.col("sim").alias("a_sim"), "chunk_key")
-    b = chunks.select(F.col("doc_id").alias("b_doc"), F.col("sim").alias("b_sim"), "chunk_key")
-    ham = F.bit_count(F.col("a_sim").bitwiseXOR(F.col("b_sim")))
-    return (
-        a.join(b, "chunk_key")
-        .filter(F.col("a_doc") < F.col("b_doc"))
-        .select("a_doc", "b_doc", ham.alias("hamming"))
-        .distinct()
-        .filter(F.col("hamming") <= 6)
-    )
+    cfg = ERConfig(max_block_size=500, block_salt_buckets=8)
+    pairs, _ = simhash_pairs(sig, cfg)
+    return pairs
 
 
 # ---------------------------------------------------------------------------
@@ -276,46 +371,91 @@ _DD05_SQL = f"""
 
 
 def cosine_self_join(
-    e: DataFrame, threshold: float, id_col: str = "vec_id", emb_col: str = "emb"
+    e: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    emb_col: str = "emb",
+    n_buckets: int = 8,
 ) -> DataFrame:
-    """All-pairs cosine >= threshold via broadcast-tile + numpy GEMM.
+    """EXACT all-pairs cosine >= threshold via distributed block-matrix GEMM.
 
-    The comparison side is broadcast as a dense float64 matrix and each
-    Arrow batch of the probe side does one matrix multiply (BLAS) —
-    ~100x faster than per-pair array expressions. At 100 TB scale the
-    broadcast side is processed in tiles (loop over `tile` slices of
-    the collected side); testdata fits one tile. Distributed probe side
-    streams through mapInPandas, so only one side is ever materialized.
+    Vectors are hashed into ``n_buckets`` buckets; each of the
+    B·(B+1)/2 bucket PAIRS becomes one cogrouped task that runs a
+    single numpy/BLAS matrix multiply over the two bucket slabs and
+    emits only the above-threshold entries. Nothing is ever collected
+    to the driver (the round-1 version broadcast the whole table from
+    a driver-side ``collect()`` — an O(N) driver-memory scale-killer).
+
+    Scale contract: exact all-pairs is inherently O(N²) FLOPs; this
+    distributes them evenly. Per-task memory = two slabs of ~N/B
+    vectors — at 100 TB pick B so a slab (~N·d·8/B bytes) fits an
+    executor core's memory; shuffle volume = (B+1)× the table (each
+    row lands in B+1 bucket pairs). Task count B(B+1)/2 should be ≥
+    cluster cores. For candidate-pruned (non-exact-threshold) dedup,
+    prefer LSH-band prefiltering (ops/similarity.py) + this as the
+    rerank within buckets.
     """
+    pair_rows = [
+        (bi * n_buckets + bj, bi, bj)
+        for bi in range(n_buckets)
+        for bj in range(bi, n_buckets)
+    ]
     spark = e.sparkSession
-    rows = e.select(id_col, emb_col).collect()  # broadcast-dim side
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    mat = np.array([r[emb_col] for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    norms[norms == 0] = 1.0
-    unit = mat / norms[:, None]
-    bc = spark.sparkContext.broadcast((ids, unit))
 
-    def op(batches):
-        b_ids, b_unit = bc.value
-        for pdf in batches:
-            q = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
-            qn = np.sqrt((q * q).sum(axis=1))
-            qn[qn == 0] = 1.0
-            sims = (q / qn[:, None]) @ b_unit.T  # (batch, n) GEMM
-            q_ids = pdf[id_col].to_numpy().astype(np.int64)
-            keep = (sims >= threshold) & (q_ids[:, None] < b_ids[None, :])
-            qi, bi = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "a_vec": q_ids[qi],
-                    "b_vec": b_ids[bi],
-                    "cos_raw": sims[qi, bi],
-                }
-            )
+    def side(prefix: str, bucket_field: str) -> DataFrame:
+        # distinct column names per side keep the self-join lineage
+        # unambiguous for the cogroup analyzer
+        pairs = spark.createDataFrame(pair_rows, ["pid", "bi", "bj"])
+        src = e.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(emb_col).alias(f"{prefix}_emb"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).alias(
+                f"{prefix}_bkt"
+            ),
+        )
+        return src.join(
+            F.broadcast(
+                pairs.select("pid", F.col(bucket_field).alias(f"{prefix}_bkt"))
+            ),
+            f"{prefix}_bkt",
+        )
 
-    return e.select(id_col, emb_col).mapInPandas(
-        op, schema="a_vec long, b_vec long, cos_raw double"
+    left = side("l", "bi")
+    right = side("r", "bj")
+
+    def gemm(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a_vec": pd.Series(dtype="int64"),
+                              "b_vec": pd.Series(dtype="int64"),
+                              "cos_raw": pd.Series(dtype="float64")})
+        if len(l) == 0 or len(r) == 0:
+            return empty
+
+        def unit(pdf, emb_field):
+            m = np.stack(pdf[emb_field].to_numpy()).astype(np.float64)
+            nrm = np.sqrt((m * m).sum(axis=1))
+            nrm[nrm == 0] = 1.0
+            return m / nrm[:, None]
+
+        l_ids = l["l_id"].to_numpy().astype(np.int64)
+        r_ids = r["r_id"].to_numpy().astype(np.int64)
+        sims = unit(l, "l_emb") @ unit(r, "r_emb").T
+        same_bucket = int(l["l_bkt"].iloc[0]) == int(r["r_bkt"].iloc[0])
+        keep = sims >= threshold
+        if same_bucket:
+            # diagonal block: each unordered pair appears twice — keep
+            # the canonical orientation only (also drops self-pairs)
+            keep &= l_ids[:, None] < r_ids[None, :]
+        li, ri = np.nonzero(keep)
+        if len(li) == 0:
+            return empty
+        a = np.minimum(l_ids[li], r_ids[ri])
+        b = np.maximum(l_ids[li], r_ids[ri])
+        return pd.DataFrame({"a_vec": a, "b_vec": b, "cos_raw": sims[li, ri]})
+
+    return (
+        left.groupby("pid")
+        .cogroup(right.groupby("pid"))
+        .applyInPandas(gemm, schema="a_vec long, b_vec long, cos_raw double")
     )
 
 

@@ -1,0 +1,136 @@
+"""Scale-safety tests for the dedup operators (round-1 VERDICT items
+2/3/5): hot band keys are capped/salted with logged metrics, the dd02
+prefix filter is exact vs brute force on an adversarial corpus, and the
+distributed cosine self-join matches a numpy brute force."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from smaph_spark.config import ERConfig
+from smaph_spark.ops.dedup import (
+    _make_simhash_udf,
+    cosine_self_join,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from smaph_spark.plans.star_queries import QUERIES
+
+
+def test_minhash_lsh_hot_band_capped(spark):
+    """Plant a degenerate band key shared by every doc: the pair stage
+    must stay bounded (salted sub-blocks) and the cap must be logged,
+    never silent."""
+    n = 60
+    cfg = ERConfig(max_block_size=10, block_salt_buckets=4, lsh_bands=2,
+                   num_minhash=4)
+    # hand-built fingerprints: every doc shares band "HOT" in band 0,
+    # distinct values in band 1 → without the cap the join is O(n²)
+    rows = [(i, [i, i, i, i], [7777, 1000 + i]) for i in range(n)]
+    fp = spark.createDataFrame(
+        rows, "doc_id long, minhash array<int>, bands array<long>"
+    )
+    pairs, metrics = minhash_lsh_pairs(fp, cfg)
+    acts = {r["action"]: r["n_records"] for r in metrics.collect()}
+    assert "salted" in acts or "dropped" in acts, "hot band must be logged"
+    # bounded: each salt bucket holds ~n/4 docs; all-pairs would be 1770
+    n_cand = pairs.count()
+    max_per_bucket = -(-n // 4) + cfg.max_block_size
+    assert n_cand <= 4 * max_per_bucket * (max_per_bucket - 1) / 2
+
+
+def test_simhash_hot_chunk_capped(spark):
+    n = 80
+    cfg = ERConfig(max_block_size=8, block_salt_buckets=4)
+    # all-identical simhash → every chunk key is one hot block of n docs
+    sig = spark.createDataFrame(
+        [(i, 0x1234_5678_9ABC_DEF0) for i in range(n)], "doc_id long, sim long"
+    )
+    pairs, metrics = simhash_pairs(sig, cfg)
+    assert metrics.count() > 0, "hot chunk keys must be logged"
+    all_pairs = n * (n - 1) // 2
+    assert pairs.count() < all_pairs  # salting bounded the block joins
+
+
+def _brute_force_jaccard(texts, thr=0.2):
+    def grams(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    out = set()
+    sets = {i: grams(t) for i, t in texts if len(t.split()) >= 3}
+    ids = sorted(sets)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = sets[ids[i]], sets[ids[j]]
+            inter = len(a & b)
+            jac = inter / (len(a) + len(b) - inter)
+            if jac >= thr:
+                out.add((ids[i], ids[j]))
+    return out
+
+
+def test_dd02_prefix_filter_exact_vs_bruteforce(spark, tmp_path):
+    """Adversarial near-dup corpus: the PPJoin prefix filter must find
+    EXACTLY the brute-force >= 0.2 Jaccard pairs (the filter prunes
+    candidates, never answers)."""
+    rng = np.random.default_rng(13)
+    vocab = [f"w{k}" for k in range(50)]
+    texts = []
+    base_docs = []
+    for i in range(30):
+        doc = list(rng.choice(vocab, size=rng.integers(8, 20)))
+        base_docs.append(doc)
+        texts.append((i, " ".join(doc)))
+    # near-dups: mutate a few tokens of existing docs
+    for i in range(30, 60):
+        src = list(base_docs[int(rng.integers(0, 30))])
+        for _ in range(int(rng.integers(0, 3))):
+            src[int(rng.integers(0, len(src)))] = str(rng.choice(vocab))
+        texts.append((i, " ".join(src)))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [i for i, _ in texts],
+            "text": [t for _, t in texts],
+            "lang": "en",
+            "source": "synth",
+        }
+    )
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(pdf).write.parquet(f"{sf}/documents.parquet")
+    got = {
+        (r["a_doc"], r["b_doc"])
+        for r in QUERIES["dd02_ngram_jaccard_pairs"].fn(spark, sf).collect()
+    }
+    want = _brute_force_jaccard(texts)
+    assert got == want
+
+
+def test_cosine_self_join_matches_bruteforce(spark):
+    """Distributed block-matrix GEMM == numpy all-pairs (exact op)."""
+    rng = np.random.default_rng(7)
+    n, d = 120, 16
+    mat = rng.standard_normal((n, d))
+    mat[5] = mat[3] + 0.01 * rng.standard_normal(d)  # planted near-dup
+    mat[50] = 0.0  # zero vector edge case
+    e = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(n), "emb": list(mat)})
+    )
+    got = {
+        (r["a_vec"], r["b_vec"]): r["cos_raw"]
+        for r in cosine_self_join(e, threshold=0.6, n_buckets=5).collect()
+    }
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    nrm[nrm == 0] = 1.0
+    unit = mat / nrm[:, None]
+    sims = unit @ unit.T
+    want = {
+        (i, j): sims[i, j]
+        for i in range(n)
+        for j in range(i + 1, n)
+        if sims[i, j] >= 0.6
+    }
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=1e-9)
