@@ -9,6 +9,9 @@ unchanged (normalize → block → pair → score → cluster).
 
 from __future__ import annotations
 
+import os
+from dataclasses import replace
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -18,6 +21,37 @@ from smaph_spark.plans.star_queries import load, register
 
 _DOC_CFG = ERConfig(shingle_k=5, num_minhash=64, lsh_bands=16,
                     match_threshold=0.55)
+
+#: committed trained-scorer artifact (scripts/train_scorer.py regenerates)
+_MODEL_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "models", "gbt_scorer",
+)
+
+_SCORER_CACHE: dict = {}
+
+
+def get_document_scorer(spark: SparkSession):
+    """Load the persisted GBT pairwise scorer (S8: the north_star says
+    the trained scorer REPLACES the rule fallback in the flagship —
+    SmaphAnnotator.java:208-216 analogue). Falls back to training on
+    the seeded synthetic gold corpus when no artifact is present, then
+    persists it so the next run reloads instead of retraining."""
+    if "scorer" not in _SCORER_CACHE:
+        from smaph_spark.operators.model_io import (
+            load_scorer, save_scorer, train_default_scorer,
+        )
+
+        try:
+            model, threshold, _ = load_scorer(_MODEL_PATH)
+        except Exception:
+            model, threshold, stats, _ = train_default_scorer(spark)
+            try:
+                save_scorer(model, _MODEL_PATH, threshold, stats)
+            except Exception:
+                pass  # read-only checkout: keep the in-memory model
+        _SCORER_CACHE["scorer"] = (model, threshold)
+    return _SCORER_CACHE["scorer"]
 
 
 def documents_as_files(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -34,7 +68,9 @@ def documents_as_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_document_er(spark: SparkSession, sf_dir: str):
     files = documents_as_files(spark, sf_dir)
-    pipe = ERPipeline(spark, _DOC_CFG)
+    model, threshold = get_document_scorer(spark)
+    cfg = replace(_DOC_CFG, match_threshold=threshold)
+    pipe = ERPipeline(spark, cfg, scorer_model=model)
     res = pipe.run(files.drop("doc_id"))
     id_map = files.select(
         F.xxhash64("repo", "path", "commit").alias("record_id"), "doc_id"

@@ -1,0 +1,110 @@
+"""Model persistence + tuning (S8/M5): save/load roundtrip reproduces
+scores exactly, the CV grid tune returns a usable model + report, and
+the committed scorer artifact drives the pipeline to F1 >= 0.99 on the
+synthetic gold corpus (north_star: trained scorer replaces the rule)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from smaph_spark.config import ERConfig
+from smaph_spark.operators.metrics import pairwise_prf
+from smaph_spark.operators.model_io import (
+    labeled_pair_features,
+    load_scorer,
+    save_scorer,
+    train_default_scorer,
+    tune_gbt_scorer,
+)
+from smaph_spark.operators.pairs import FEATURE_COLS
+from smaph_spark.operators.scoring import gbt_score, train_gbt_scorer
+from smaph_spark.pipeline import ERPipeline
+from smaph_spark.sources.synthetic import generate_files_corpus
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ARTIFACT = os.path.join(REPO, "models", "gbt_scorer")
+
+
+def _labeled_feature_frame(spark, seed=11):
+    files_pdf, labeled_pdf, _ = generate_files_corpus(n_clusters=40, seed=seed)
+    files = spark.createDataFrame(files_pdf)
+    labeled = spark.createDataFrame(labeled_pdf)
+    lid = F.xxhash64("l_repo", "l_path", "l_commit")
+    rid = F.xxhash64("r_repo", "r_path", "r_commit")
+    labeled_ids = labeled.select(
+        F.least(lid, rid).alias("left_id"),
+        F.greatest(lid, rid).alias("right_id"),
+        "is_match",
+    )
+    return files, labeled_ids, labeled_pair_features(
+        spark, files, labeled_ids, ERConfig()
+    )
+
+
+def test_save_load_roundtrip_scores_identical(spark, tmp_path):
+    """LibSvmEntityFilter.toFile/fromUrl analogue: a reloaded scorer
+    must reproduce the saved scorer's outputs bit-for-bit."""
+    _, _, feat = _labeled_feature_frame(spark)
+    model = train_gbt_scorer(feat, max_iter=5)
+    path = str(tmp_path / "scorer")
+    save_scorer(model, path, threshold=0.7, zscore_stats={"name_jw": (0.5, 0.1)})
+    model2, thr, stats = load_scorer(path)
+    assert thr == 0.7
+    assert stats == {"name_jw": (0.5, 0.1)}
+    a = {(r["left_id"], r["right_id"]): r["score"]
+         for r in gbt_score(model, feat).collect()}
+    b = {(r["left_id"], r["right_id"]): r["score"]
+         for r in gbt_score(model2, feat).collect()}
+    assert a == b
+
+
+def test_tune_grid_and_feature_subsets(spark):
+    """M5 (TuneModelLibSvm grid + ablation): CV over a small grid and
+    two feature subsets picks a best combo and reports per-subset
+    metrics."""
+    _, _, feat = _labeled_feature_frame(spark)
+    model, report = tune_gbt_scorer(
+        feat,
+        feature_subsets=[list(FEATURE_COLS), ["jaccard_est", "same_lang"]],
+        max_depths=[2], max_iters=[5], folds=2, parallelism=2,
+    )
+    assert len(report["subsets"]) == 2
+    assert all("cv_aupr" in s and "best_params" in s for s in report["subsets"])
+    assert report["best"]["cv_aupr"] >= max(
+        s["cv_aupr"] for s in report["subsets"]
+    ) - 1e-12
+    scored = gbt_score(model, feat)
+    assert "score" in scored.columns and scored.count() == feat.count()
+
+
+@pytest.mark.skipif(not os.path.exists(ARTIFACT), reason="artifact not built")
+def test_committed_scorer_preserves_pipeline_f1(spark):
+    """The persisted artifact (models/gbt_scorer) plugged into the full
+    pipeline keeps pairwise F1 >= 0.99 on a FRESH-seed gold corpus."""
+    model, threshold, _ = load_scorer(ARTIFACT)
+    files_pdf, labeled_pdf, _ = generate_files_corpus(n_clusters=80, seed=4242)
+    files = spark.createDataFrame(files_pdf)
+    labeled = spark.createDataFrame(labeled_pdf)
+    lid = F.xxhash64("l_repo", "l_path", "l_commit")
+    rid = F.xxhash64("r_repo", "r_path", "r_commit")
+    labeled_ids = labeled.select(
+        F.least(lid, rid).alias("left_id"),
+        F.greatest(lid, rid).alias("right_id"),
+        "is_match",
+    )
+    from dataclasses import replace
+
+    cfg = replace(ERConfig(), match_threshold=threshold)
+    res = ERPipeline(spark, cfg, scorer_model=model).run(files)
+    m = pairwise_prf(res.matches, labeled_ids)
+    assert m["f1"] >= 0.99, m
+
+
+def test_train_default_scorer_untuned(spark):
+    model, threshold, stats, report = train_default_scorer(
+        spark, n_clusters=30, seed=5
+    )
+    assert 0.0 < threshold < 1.0
+    assert set(stats) == set(FEATURE_COLS)
+    assert report == {"tuned": False}
