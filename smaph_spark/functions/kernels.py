@@ -667,3 +667,252 @@ def jaccard(a: set, b: set) -> float:
         return 0.0
     inter = len(a & b)
     return inter / (len(a) + len(b) - inter)
+
+
+# ---------------------------------------------------------------------------
+# X15 — per-rank bold statistics (EntityFeaturePack.java:274-291)
+# ---------------------------------------------------------------------------
+
+def java_nonword_wordcount(s: str) -> int:
+    """len(s.split("\\W+")) with Java String.split semantics: no match
+    anywhere -> the original string as a single field (so "" -> 1);
+    otherwise fields with ALL trailing empty strings dropped (leading
+    empty kept: " a" -> 2, "a " -> 1, "!!!" -> 0). Used by
+    getBoldsEDCapitalizedWordcount's avgNumWords."""
+    if not re.search(r"\W", s):
+        return 1
+    parts = re.split(r"\W+", s)
+    while parts and parts[-1] == "":
+        parts.pop()
+    return len(parts)
+
+
+def bolds_ed_capitalized_wordcount(
+    query: str, bolds_with_rank: Sequence[tuple[str, int]], rank: int
+) -> tuple[float, float, float]:
+    """(minEdDist, capitalized, avgNumWords) over the bolds returned at
+    search rank `rank` (EntityFeaturePack.getBoldsEDCapitalizedWordcount,
+    :274-291, consumed at :116,:136): min over bolds of
+    getMinEditDist(query, bold) starting from 1.0; count of bolds whose
+    first char is uppercase; average Java-split word count."""
+    min_ed = 1.0
+    capitalized = 0.0
+    avg_words = 0.0
+    count = 0
+    for bold, r in bolds_with_rank:
+        if r != rank:
+            continue
+        count += 1
+        min_ed = min(min_ed, min_edit_dist(query, bold))
+        if bold[:1].isupper():
+            capitalized += 1
+        avg_words += java_nonword_wordcount(bold)
+    if count:
+        avg_words /= count
+    return (min_ed, capitalized, avg_words)
+
+
+# ---------------------------------------------------------------------------
+# X18 — Wikipedia URL decode + title normalize (SmaphAnnotator.java:258-273)
+# ---------------------------------------------------------------------------
+
+_WIKI_URL_RE = re.compile(r"https?://en\.wikipedia\.org/wiki/(.+)")
+_BAD_PERCENT_RE = re.compile(r"%(?![0-9A-Fa-f]{2})")
+#: SmaphUtils.acceptWikipediaTitle (SmaphUtils.java:167-177) — note the
+#: bare "List" prefix (no colon) is the reference's own behavior
+_BAD_TITLE_PREFIXES = (
+    "Talk:", "Special:", "Portal:", "Wikipedia:", "Template:",
+    "Wikipedia_talk:", "File:", "User:", "Category:", "List",
+)
+
+
+def decode_wiki_url(url: str | None) -> str | None:
+    """Wikipedia URL -> page title, or None if not an accepted page
+    (SmaphAnnotator.decodeWikiUrl, :258-273). Steps: WIKI_URL_PATTERN
+    full match -> URLDecoder.decode (invalid %-escape -> None, like the
+    caught IllegalArgumentException) -> acceptWikipediaTitle prefix
+    filter -> normalize. WikipediaInterface.normalize is an external
+    dependency of the reference; the standard MediaWiki normalization
+    (underscores to spaces, first char uppercased, trimmed) is used."""
+    import urllib.parse
+
+    if url is None:
+        return None
+    m = _WIKI_URL_RE.fullmatch(url)
+    if not m:
+        return None
+    raw = m.group(1)
+    if _BAD_PERCENT_RE.search(raw):
+        return None  # URLDecoder throws IllegalArgumentException
+    title = urllib.parse.unquote_plus(raw)
+    if any(title.startswith(p) for p in _BAD_TITLE_PREFIXES):
+        return None
+    if "(disambiguation)" in title:
+        return None
+    norm = title.replace("_", " ").strip()
+    if not norm:
+        return None
+    return norm[0].upper() + norm[1:]
+
+
+# ---------------------------------------------------------------------------
+# Batch (Arrow-ready) variants of the scalar kernels (M7)
+# ---------------------------------------------------------------------------
+
+def min_edit_dist_batch(
+    queries: Sequence[str], bolds: Sequence[str]
+) -> np.ndarray:
+    """Vectorized getMinEditDist over row pairs: all (bold-token,
+    query-token) combinations across the batch go through ONE
+    norm_edit_distance_batch DP, then group-min per bold token and
+    group-mean per row via np.ufunc.at — no per-pair Python DP."""
+    n = len(queries)
+    out = np.ones(n, dtype=np.float64)
+    pa: list[str] = []
+    pb: list[str] = []
+    tok_id: list[int] = []  # global bold-token index per pair
+    tok_row: list[int] = []  # row per bold token
+    n_tok = 0
+    for i in range(n):
+        q = queries[i] or ""
+        b = bolds[i] or ""
+        tq = tokenize(q.lower())
+        tb = tokenize(b.lower())
+        if not tq or not tb:
+            continue  # stays 1.0
+        for tok_b in tb:
+            for tok_q in tq:
+                pa.append(tok_b)
+                pb.append(tok_q)
+                tok_id.append(n_tok)
+            tok_row.append(i)
+            n_tok += 1
+    if not pa:
+        return out
+    d = norm_edit_distance_batch(pa, pb)
+    tok_min = np.full(n_tok, np.inf)
+    np.minimum.at(tok_min, np.asarray(tok_id), d)
+    row_sum = np.zeros(n, dtype=np.float64)
+    row_cnt = np.zeros(n, dtype=np.int64)
+    rows = np.asarray(tok_row)
+    np.add.at(row_sum, rows, tok_min)
+    np.add.at(row_cnt, rows, 1)
+    has = row_cnt > 0
+    out[has] = row_sum[has] / row_cnt[has]
+    return out
+
+
+def fragmentation_batch(
+    bolds_lists: Sequence[Sequence[str]], bolds: Sequence[str],
+    power: float = 1.0,
+) -> np.ndarray:
+    """Batch fragmentation with a per-batch stem-token cache (bold
+    strings repeat heavily across rows, so stemming each distinct
+    string once dominates)."""
+    cache: dict[str, list[str]] = {}
+
+    def stems(s: str) -> list[str]:
+        if s not in cache:
+            cache[s] = _stem_tokens(s)
+        return cache[s]
+
+    out = np.zeros(len(bolds), dtype=np.float64)
+    for i, (lst, bold) in enumerate(zip(bolds_lists, bolds)):
+        tb = stems(bold)
+        bold_count = 0
+        frag_count = 0
+        for b in lst:
+            t = stems(b)
+            if t == tb:
+                bold_count += 1
+            elif is_sub_token(t, tb):
+                frag_count += 1
+        if bold_count:
+            out[i] = bold_count / (frag_count**power + bold_count)
+    return out
+
+
+def aggregation_batch(
+    bolds_lists: Sequence[Sequence[str]], bolds: Sequence[str],
+    power: float = 1.0,
+) -> np.ndarray:
+    """Batch aggregation (see fragmentation_batch)."""
+    cache: dict[str, list[str]] = {}
+
+    def stems(s: str) -> list[str]:
+        if s not in cache:
+            cache[s] = _stem_tokens(s)
+        return cache[s]
+
+    out = np.zeros(len(bolds), dtype=np.float64)
+    for i, (lst, bold) in enumerate(zip(bolds_lists, bolds)):
+        tb = stems(bold)
+        bold_count = 0
+        agg_count = 0
+        for b in lst:
+            t = stems(b)
+            if t == tb:
+                bold_count += 1
+            elif is_sub_token(tb, t):
+                agg_count += 1
+        if bold_count:
+            out[i] = bold_count / (agg_count**power + bold_count)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# X17 — weighted anchor edit-distance aggregates
+# (AnnotationFeaturePack.java:135-178)
+# ---------------------------------------------------------------------------
+
+def ed_anchors_weight_sqrt(
+    segment: str, anchor_and_occurrences: Sequence[tuple[str, int]]
+) -> float:
+    """sum(sqrt(occ)*NED(segment.lower(), anchor)) / sum(sqrt(occ))
+    (AnnotationFeaturePack.edAnchorsWeightSqrt, :135-144)."""
+    num = 0.0
+    den = 0.0
+    for anchor, occ in anchor_and_occurrences:
+        w = occ ** 0.5
+        num += w * norm_edit_distance(segment.lower(), anchor)
+        den += w
+    return num / den if den else 1.0
+
+
+def ed_anchors_weight_sqrt_comm(
+    segment: str, anchor_and_commonness: Sequence[tuple[str, float]]
+) -> float:
+    """Same shape with sqrt(commonness) weights
+    (AnnotationFeaturePack.edAnchorsWeightSqrtComm, :146-154); missing
+    entity -> commonness 1.0 handled by the caller."""
+    num = 0.0
+    den = 0.0
+    for anchor, comm in anchor_and_commonness:
+        w = comm ** 0.5
+        num += w * norm_edit_distance(segment.lower(), anchor)
+        den += w
+    return num / den if den else 1.0
+
+
+def min_ed_anchors_weight_sqrt_geom(
+    segment: str, anchor_and_occurrences: Sequence[tuple[str, int]],
+    smooth: float,
+) -> float:
+    """Weighted geometric mean of smooth+minED with sqrt(occ) weights
+    (AnnotationFeaturePack.minEdAnchorsWeightSqrtGeom, :156-166)."""
+    vals = [smooth + min_edit_dist(segment.lower(), a)
+            for a, _ in anchor_and_occurrences]
+    weights = [occ ** 0.5 for _, occ in anchor_and_occurrences]
+    return weighted_geometric_average(vals, weights)
+
+
+def ed_anchors_weight_sqrt_geom(
+    segment: str, anchor_and_occurrences: Sequence[tuple[str, int]],
+    smooth: float,
+) -> float:
+    """Weighted geometric mean of smooth+NED-LC with sqrt(occ) weights
+    (AnnotationFeaturePack.edAnchorsWeightSqrtGeom, :168-178)."""
+    vals = [smooth + norm_edit_distance_lc(segment.lower(), a)
+            for a, _ in anchor_and_occurrences]
+    weights = [occ ** 0.5 for _, occ in anchor_and_occurrences]
+    return weighted_geometric_average(vals, weights)

@@ -74,3 +74,103 @@ def clusters_pairwise_prf(clusters: DataFrame, gold_clusters: DataFrame) -> dict
         "recall": r,
         "f1": f1,
     }
+
+
+# ---------------------------------------------------------------------------
+# A9 — macro/micro P/R/F1 + bootstrap std (BAT MetricsResultSet parity)
+# ---------------------------------------------------------------------------
+
+def _prf_from_counts(tp, fp, fn):
+    """BAT-framework conventions (bat-framework Metrics, printed by
+    RunBenchmark.printMetricsResultSet:240-247): an empty prediction
+    set has precision 1, an empty gold set has recall 1; F1 = 0 when
+    P+R = 0."""
+    p = tp / (tp + fp) if tp + fp else 1.0
+    r = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * p * r / (p + r) if p + r else 0.0
+    return p, r, f1
+
+
+def grouped_prf(
+    predicted: DataFrame,
+    gold: DataFrame,
+    group_col: str,
+    n_bootstrap: int = 200,
+    seed: int = 42,
+) -> dict:
+    """Macro/micro pairwise P/R/F1 with bootstrap standard deviations
+    (learn/SolutionComputer.java:33-184 + RunBenchmark.java:240-247;
+    the reference's "document" grouping becomes ``group_col``).
+
+    predicted(group, left_id, right_id [, is_match]) vs
+    gold(group, left_id, right_id, is_match). Macro = mean of per-group
+    P/R/F1; micro = global TP/FP/FN. Bootstrap: resample GROUPS with
+    replacement (seeded multinomial over the per-group count table,
+    numpy-side — the per-group table is one row per group, tiny
+    relative to the pair data; the heavy tp/fp/fn aggregation stays
+    distributed)."""
+    import numpy as np
+
+    pred = predicted
+    if "is_match" in pred.columns:
+        pred = pred.filter(F.col("is_match"))
+    pred = pred.select(group_col, "left_id", "right_id").withColumn(
+        "pred", F.lit(True)
+    )
+    joined = gold.join(pred, [group_col, "left_id", "right_id"], "full_outer")
+    per_group = (
+        joined.select(
+            F.col(group_col).alias("g"),
+            F.coalesce(F.col("is_match"), F.lit(False)).alias("gold"),
+            F.coalesce(F.col("pred"), F.lit(False)).alias("p"),
+        )
+        .groupBy("g")
+        .agg(
+            F.sum((F.col("p") & F.col("gold")).cast("long")).alias("tp"),
+            F.sum((F.col("p") & ~F.col("gold")).cast("long")).alias("fp"),
+            F.sum((~F.col("p") & F.col("gold")).cast("long")).alias("fn"),
+        )
+        .collect()
+    )
+    tp = np.array([r["tp"] for r in per_group], dtype=np.float64)
+    fp = np.array([r["fp"] for r in per_group], dtype=np.float64)
+    fn = np.array([r["fn"] for r in per_group], dtype=np.float64)
+    n = len(tp)
+
+    def macro_micro(w):
+        """w = per-group multiplicities (bootstrap weights)."""
+        with np.errstate(divide="ignore", invalid="ignore"):
+            gp = np.where(tp + fp > 0, tp / np.maximum(tp + fp, 1), 1.0)
+            gr = np.where(tp + fn > 0, tp / np.maximum(tp + fn, 1), 1.0)
+            gf = np.where(gp + gr > 0, 2 * gp * gr / np.maximum(gp + gr, 1e-300), 0.0)
+        tw = w.sum()
+        mac = (
+            float((gp * w).sum() / tw), float((gr * w).sum() / tw),
+            float((gf * w).sum() / tw),
+        ) if tw else (1.0, 1.0, 0.0)
+        stp, sfp, sfn = float((tp * w).sum()), float((fp * w).sum()), float((fn * w).sum())
+        mic = _prf_from_counts(stp, sfp, sfn)
+        return mac, mic
+
+    ones = np.ones(n)
+    (mac_p, mac_r, mac_f1), (mic_p, mic_r, mic_f1) = macro_micro(ones)
+    out = {
+        "n_groups": n,
+        "macro": {"precision": mac_p, "recall": mac_r, "f1": mac_f1},
+        "micro": {"precision": mic_p, "recall": mic_r, "f1": mic_f1},
+        "tp": int(tp.sum()), "fp": int(fp.sum()), "fn": int(fn.sum()),
+    }
+    if n and n_bootstrap:
+        rng = np.random.default_rng(seed)
+        boots_mac = np.empty((n_bootstrap, 3))
+        boots_mic = np.empty((n_bootstrap, 3))
+        for b in range(n_bootstrap):
+            w = rng.multinomial(n, np.full(n, 1.0 / n)).astype(np.float64)
+            boots_mac[b], boots_mic[b] = macro_micro(w)
+        out["bootstrap_std"] = {
+            "macro": dict(zip(("precision", "recall", "f1"),
+                              boots_mac.std(axis=0, ddof=0).tolist())),
+            "micro": dict(zip(("precision", "recall", "f1"),
+                              boots_mic.std(axis=0, ddof=0).tolist())),
+        }
+    return out

@@ -208,3 +208,201 @@ def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(fp("text")).alias("n_fingerprints"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X15 bold statistics + X18 wiki-URL decode as driver queries
+# ---------------------------------------------------------------------------
+
+_TX05_SQL = r"""
+    WITH b AS (
+      SELECT source AS query, doc_id % 3 AS rank,
+             array_to_string(string_split_regex(trim(text), '\s+')[1:4], ' ')
+               AS bold
+      FROM documents WHERE length(trim(text)) > 0),
+    ed AS (
+      SELECT query, rank, bold,
+             [t FOR t IN string_split_regex(lower(query), '\s+') IF t != '']
+               AS qt,
+             [t FOR t IN string_split_regex(lower(bold), '\s+') IF t != '']
+               AS bt
+      FROM b),
+    med AS (
+      SELECT query, rank, bold,
+             CASE WHEN len(bt) = 0 OR len(qt) = 0 THEN 1.0
+                  ELSE list_avg([list_min([
+                        CASE WHEN len(x) = 0 OR len(y) = 0 THEN 1.0
+                             ELSE levenshtein(x, y)::DOUBLE
+                                  / greatest(len(x), len(y)) END
+                        FOR y IN qt]) FOR x IN bt])
+             END AS ed,
+             CASE WHEN substr(bold, 1, 1) BETWEEN 'A' AND 'Z'
+                  THEN 1.0 ELSE 0.0 END AS cap,
+             CASE WHEN regexp_matches(bold, '^\W+$') THEN 0
+                  ELSE len(string_split_regex(bold, '\W+'))
+                       - CASE WHEN regexp_matches(bold, '\W$') THEN 1 ELSE 0 END
+             END AS wc
+      FROM ed)
+    SELECT query, rank,
+           ROUND(least(MIN(ed), 1.0), 4) AS min_ed,
+           SUM(cap) AS capitalized,
+           ROUND(AVG(wc), 4) AS avg_wordcount
+    FROM med GROUP BY query, rank
+"""
+
+
+@register(
+    "tx05_bold_stats_per_rank",
+    _TX05_SQL,
+    survey_ref="X15 bolds ED/capitalized/wordcount per rank "
+               "(EntityFeaturePack.getBoldsEDCapitalizedWordcount:274-291)",
+)
+def tx_bold_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents recast as (query=source, bold=first 4 tokens,
+    rank=doc_id%3) search results; groupBy-agg bold statistics."""
+    from smaph_spark.functions.bold_features import bold_stats_per_rank
+
+    d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    rows = d.select(
+        F.col("source").alias("query"),
+        (F.col("doc_id") % 3).alias("rank"),
+        F.array_join(
+            F.slice(F.split(F.trim("text"), r"\s+"), 1, 4), " "
+        ).alias("bold"),
+    )
+    out = bold_stats_per_rank(rows)
+    return out.select(
+        "query", "rank",
+        F.round("min_ed", 4).alias("min_ed"),
+        "capitalized",
+        F.round("avg_wordcount", 4).alias("avg_wordcount"),
+    )
+
+
+_TX06_SQL = r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN 'Talk:' ELSE '' END
+               || source || '_' || lang || '_' || doc_id AS raw_title
+      FROM documents),
+    n AS (
+      SELECT doc_id, raw_title,
+             trim(replace(raw_title, '_', ' ')) AS norm
+      FROM t)
+    SELECT doc_id,
+           CASE WHEN raw_title LIKE 'Talk:%' OR raw_title LIKE 'Special:%'
+                  OR raw_title LIKE 'Portal:%' OR raw_title LIKE 'Wikipedia:%'
+                  OR raw_title LIKE 'Template:%'
+                  OR raw_title LIKE 'Wikipedia\_talk:%' ESCAPE '\'
+                  OR raw_title LIKE 'File:%' OR raw_title LIKE 'User:%'
+                  OR raw_title LIKE 'Category:%' OR raw_title LIKE 'List%'
+                  OR raw_title LIKE '%(disambiguation)%' OR norm = ''
+                THEN NULL
+                ELSE upper(substr(norm, 1, 1)) || substr(norm, 2) END
+             AS wiki_title
+    FROM n
+"""
+
+
+@register(
+    "tx06_wiki_url_decode",
+    _TX06_SQL,
+    survey_ref="X18 URL decode / title normalize "
+               "(SmaphAnnotator.decodeWikiUrl:258-273, "
+               "SmaphUtils.acceptWikipediaTitle:167-177)",
+)
+def tx_wiki_url_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize wiki URLs from documents (1 in 7 gets a rejected
+    Talk: prefix) and decode them with the pure-JVM X18 expression."""
+    from smaph_spark.functions.bold_features import decode_wiki_url_col
+
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://en.wikipedia.org/wiki/"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("Talk:")).otherwise(F.lit("")),
+        F.col("source"), F.lit("_"), F.col("lang"), F.lit("_"),
+        F.col("doc_id").cast("string"),
+    )
+    return d.select(
+        "doc_id", decode_wiki_url_col(url).alias("wiki_title")
+    )
+
+
+_TX07_SQL = r"""
+    WITH a AS (
+      SELECT source AS segment,
+             string_split_regex(trim(text), '\s+')[1] AS anchor,
+             (doc_id % 5) + 1 AS occurrences
+      FROM documents WHERE length(trim(text)) > 0),
+    d AS (
+      SELECT segment, anchor, occurrences,
+             CASE WHEN length(lower(segment)) = 0 OR length(anchor) = 0
+                  THEN 1.0
+                  ELSE levenshtein(lower(segment), anchor)::DOUBLE
+                       / greatest(length(lower(segment)), length(anchor))
+             END AS ned
+      FROM a)
+    SELECT segment,
+           ROUND(SUM(sqrt(occurrences::DOUBLE) * ned)
+                 / SUM(sqrt(occurrences::DOUBLE)), 4)
+             AS ed_anchors_weight_sqrt,
+           COUNT(*) AS n_anchors
+    FROM d GROUP BY segment
+"""
+
+
+@register(
+    "tx07_weighted_anchor_ed",
+    _TX07_SQL,
+    survey_ref="X17 sqrt(freq)-weighted anchor ED aggregate "
+               "(AnnotationFeaturePack.edAnchorsWeightSqrt:135-144)",
+)
+def tx_weighted_anchor_ed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents recast as exploded (segment=source, anchor=first
+    token, occurrences=doc_id%5+1) anchor rows; X17 weighted-ED agg."""
+    from smaph_spark.functions.bold_features import weighted_anchor_ed
+
+    d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    rows = d.select(
+        F.col("source").alias("segment"),
+        F.element_at(F.split(F.trim("text"), r"\s+"), 1).alias("anchor"),
+        ((F.col("doc_id") % 5) + 1).alias("occurrences"),
+    )
+    out = weighted_anchor_ed(rows)
+    return out.select(
+        "segment",
+        F.round("ed_anchors_weight_sqrt", 4).alias("ed_anchors_weight_sqrt"),
+        "n_anchors",
+    )
+
+
+@register(
+    "tx08_bold_fragmentation",
+    None,  # Snowball-ish stemming inside — not SQL-expressible, rows-only
+    survey_ref="A7 fragmentation/aggregation as groupBy + Arrow UDF "
+               "(SmaphUtils.getFragmentation:556-584, getAggregation:595-622)",
+)
+def tx_bold_fragmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source bold lists (collect_list) -> fragmentation/aggregation
+    score of each bold against its group (groupBy + UDF per SURVEY A7)."""
+    from smaph_spark.functions.bold_features import (
+        aggregation_udf, fragmentation_udf,
+    )
+
+    d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    bolds = d.select(
+        "doc_id", "source",
+        F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 1, 3), " ")
+        .alias("bold"),
+    )
+    groups = bolds.groupBy("source").agg(
+        F.collect_list("bold").alias("bolds")
+    )
+    return (
+        bolds.join(groups, "source")
+        .select(
+            "doc_id", "source",
+            F.round(fragmentation_udf("bolds", "bold"), 4).alias("fragmentation"),
+            F.round(aggregation_udf("bolds", "bold"), 4).alias("aggregation"),
+        )
+    )

@@ -310,13 +310,18 @@ def q08(spark, sf_dir):
     survey_ref="F3 frequency filter (FrequencyAnnotationFilter.java:17-24; ratio 0.03 SmaphBuilder.java:61)",
 )
 def q09(spark, sf_dir):
+    # single scan: total via a window over the per-type agg (a handful
+    # of rows), not a separate e.count() driver action (round-1 VERDICT)
+    from pyspark.sql import Window as W
+
     e = load(spark, sf_dir, "events")
-    total = e.count()
+    counts = e.groupBy("event_type").agg(F.count("*").alias("n"))
+    total = F.sum("n").over(W.partitionBy())
     return (
-        e.groupBy("event_type")
-        .agg(F.count("*").alias("n"))
-        .withColumn("freq", F.round(F.col("n") / F.lit(float(total)), 4))
-        .filter(F.col("n") / F.lit(float(total)) >= 0.03)
+        counts.withColumn("_total", total)
+        .withColumn("freq", F.round(F.col("n") / F.col("_total"), 4))
+        .filter(F.col("n") / F.col("_total") >= 0.03)
+        .drop("_total")
     )
 
 

@@ -340,3 +340,94 @@ def test_shingles_jaccard():
     assert K.jaccard(a, c) < 0.2
     assert K.jaccard(set(), set()) == 1.0
     assert K.jaccard(a, set()) == 0.0
+
+
+# --- X15: getBoldsEDCapitalizedWordcount (EntityFeaturePack.java:274-291) --
+def test_bolds_ed_capitalized_wordcount_goldens():
+    """Hand-derived from the Java source (no committed reference test
+    exists): minEdDist starts at 1.0, capitalized counts
+    uppercase-first bolds, avgNumWords uses Java String.split("\\W+")
+    lengths (trailing empties dropped, leading kept)."""
+    bolds = [
+        ("Armstrong World Industries", 0),  # 3 words, capitalized
+        ("armstrong moon", 0),              # 2 words, ED 0
+        ("moon", 1),                        # 1 word
+        ("the moon!", 1),                   # trailing ! -> 2 words
+    ]
+    ed, cap, words = K.bolds_ed_capitalized_wordcount("armstrong moon", bolds, 0)
+    assert ed == pytest.approx(0.0, abs=DELTA)  # exact bold at rank 0
+    assert cap == 1.0
+    assert words == pytest.approx(2.5, abs=DELTA)
+
+    ed, cap, words = K.bolds_ed_capitalized_wordcount("armstrong moon", bolds, 1)
+    assert ed == pytest.approx(0.0, abs=DELTA)  # "moon" matches query tok
+    assert cap == 0.0
+    assert words == pytest.approx(1.5, abs=DELTA)
+
+    # no bolds at rank -> (1.0, 0, 0) like the Java zero-count branch
+    assert K.bolds_ed_capitalized_wordcount("q", bolds, 9) == (1.0, 0.0, 0.0)
+
+
+def test_java_nonword_wordcount():
+    assert K.java_nonword_wordcount("a b") == 2
+    assert K.java_nonword_wordcount(" a") == 2   # leading empty kept
+    assert K.java_nonword_wordcount("a ") == 1   # trailing dropped
+    assert K.java_nonword_wordcount("a-b!") == 2
+    assert K.java_nonword_wordcount("") == 1     # Java "".split -> [""]
+
+
+# --- X18: decodeWikiUrl (SmaphAnnotator.java:258-273) ----------------------
+def test_decode_wiki_url_goldens():
+    f = K.decode_wiki_url
+    assert f("https://en.wikipedia.org/wiki/Neil_Armstrong") == "Neil Armstrong"
+    assert f("http://en.wikipedia.org/wiki/Neil_Armstrong") == "Neil Armstrong"
+    assert f("https://en.wikipedia.org/wiki/Black%20hole") == "Black hole"
+    assert f("https://en.wikipedia.org/wiki/Caf%C3%A9") == "Café"
+    # URLDecoder '+' -> space
+    assert f("https://en.wikipedia.org/wiki/Black+hole") == "Black hole"
+    # first char uppercased by normalization
+    assert f("https://en.wikipedia.org/wiki/neil_armstrong") == "Neil armstrong"
+    # rejections: acceptWikipediaTitle prefixes incl. bare "List"
+    for bad in ["Talk:X", "Special:Export", "Portal:Law", "Wikipedia:About",
+                "Template:Infobox", "Wikipedia_talk:Foo", "File:X.png",
+                "User:Bob", "Category:Planets", "List_of_planets",
+                "Foo_(disambiguation)"]:
+        assert f(f"https://en.wikipedia.org/wiki/{bad}") is None, bad
+    # non-wiki URLs and malformed escapes -> None
+    assert f("https://example.com/wiki/X") is None
+    assert f("https://en.wikipedia.org/wiki/Bad%zzEscape") is None
+    assert f("https://en.wikipedia.org/w/index.php?title=X") is None
+    assert f(None) is None
+
+
+# --- M7: batch kernels match the scalar kernels ----------------------------
+_WORDS = st.text(alphabet="ab cdE", min_size=0, max_size=20)
+
+
+@given(st.lists(st.tuples(_WORDS, _WORDS), min_size=1, max_size=8))
+@settings(max_examples=50, deadline=None)
+def test_min_edit_dist_batch_matches_scalar(pairs):
+    qs = [q for q, _ in pairs]
+    bs = [b for _, b in pairs]
+    batch = K.min_edit_dist_batch(qs, bs)
+    for i, (q, b) in enumerate(pairs):
+        assert batch[i] == pytest.approx(K.min_edit_dist(q, b), abs=1e-12)
+
+
+@given(
+    st.lists(st.lists(_WORDS, min_size=0, max_size=5), min_size=1, max_size=6),
+    st.lists(_WORDS, min_size=1, max_size=6),
+)
+@settings(max_examples=30, deadline=None)
+def test_fragmentation_aggregation_batch_match_scalar(lists, bolds):
+    n = min(len(lists), len(bolds))
+    lists, bolds = lists[:n], bolds[:n]
+    fb = K.fragmentation_batch(lists, bolds)
+    ab = K.aggregation_batch(lists, bolds)
+    for i in range(n):
+        assert fb[i] == pytest.approx(K.fragmentation(lists[i], bolds[i]), abs=1e-12)
+        assert ab[i] == pytest.approx(K.aggregation(lists[i], bolds[i]), abs=1e-12)
+
+
+def test_java_nonword_wordcount_all_nonword():
+    assert K.java_nonword_wordcount("!!!") == 0  # all fields empty in Java

@@ -1,0 +1,65 @@
+"""A9 parity: macro vs micro P/R/F1 + bootstrap std on a hand-built
+fixture (SolutionComputer.java:33-184, RunBenchmark.java:240-247)."""
+
+import pytest
+
+from smaph_spark.operators.metrics import grouped_prf
+
+
+def _fixture(spark):
+    # group A: perfect (2 gold pairs, both predicted)
+    # group B: half precision (1 gold pair predicted + 1 false positive)
+    # group C: zero recall (1 gold pair, nothing predicted)
+    gold = spark.createDataFrame(
+        [
+            ("A", 1, 2, True), ("A", 1, 3, True),
+            ("B", 10, 11, True),
+            ("C", 20, 21, True),
+        ],
+        "g string, left_id long, right_id long, is_match boolean",
+    )
+    pred = spark.createDataFrame(
+        [
+            ("A", 1, 2), ("A", 1, 3),
+            ("B", 10, 11), ("B", 10, 12),
+        ],
+        "g string, left_id long, right_id long",
+    )
+    return pred, gold
+
+
+def test_macro_micro_differ_on_skewed_groups(spark):
+    pred, gold = _fixture(spark)
+    m = grouped_prf(pred, gold, "g", n_bootstrap=0)
+    # micro: tp=3, fp=1, fn=1
+    assert m["tp"] == 3 and m["fp"] == 1 and m["fn"] == 1
+    assert m["micro"]["precision"] == pytest.approx(3 / 4)
+    assert m["micro"]["recall"] == pytest.approx(3 / 4)
+    # macro: per-group P = (1, 1/2, 1) -> 5/6; R = (1, 1, 0) -> 2/3
+    # (empty prediction set -> P=1, the BAT convention)
+    assert m["macro"]["precision"] == pytest.approx(5 / 6)
+    assert m["macro"]["recall"] == pytest.approx(2 / 3)
+    # per-group F1 = (1, 2/3, 0) -> 5/9
+    assert m["macro"]["f1"] == pytest.approx(5 / 9)
+    assert m["micro"]["f1"] == pytest.approx(3 / 4)
+
+
+def test_bootstrap_std_seeded_and_sane(spark):
+    pred, gold = _fixture(spark)
+    m1 = grouped_prf(pred, gold, "g", n_bootstrap=100, seed=7)
+    m2 = grouped_prf(pred, gold, "g", n_bootstrap=100, seed=7)
+    assert m1["bootstrap_std"] == m2["bootstrap_std"]  # deterministic
+    # skewed per-group metrics -> nonzero spread, bounded by the range
+    assert 0.0 < m1["bootstrap_std"]["macro"]["f1"] < 0.5
+    assert 0.0 < m1["bootstrap_std"]["micro"]["f1"] < 0.5
+
+
+def test_perfect_prediction_zero_std(spark):
+    gold = spark.createDataFrame(
+        [("A", 1, 2, True), ("B", 3, 4, True)],
+        "g string, left_id long, right_id long, is_match boolean",
+    )
+    pred = gold.drop("is_match")
+    m = grouped_prf(pred, gold, "g", n_bootstrap=50)
+    assert m["macro"]["f1"] == 1.0 and m["micro"]["f1"] == 1.0
+    assert m["bootstrap_std"]["macro"]["f1"] == 0.0

@@ -125,3 +125,35 @@ def test_streaming_hourly_counts_matches_batch(spark):
     assert got, "stream emitted nothing"
     assert got <= batch
     assert len(got) >= 0.8 * len(batch)
+
+
+def test_bold_feature_udfs_match_scalar(spark):
+    """M7: fragmentation/aggregation/min-ED Arrow UDFs in a real plan
+    reproduce the scalar kernels."""
+    from smaph_spark.functions import kernels as K
+    from smaph_spark.functions.bold_features import (
+        aggregation_udf, fragmentation_udf, min_edit_dist_udf,
+    )
+
+    rows = [
+        (1, "armstrong moon", "Armstrong World Industries",
+         ["neil armstrong", "armstrong", "moon landing", "armstrong"]),
+        (2, "moooon moan", "moon", ["moon", "the moon"]),
+        (3, "", "", []),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, query string, bold string, bolds array<string>"
+    )
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            min_edit_dist_udf("query", "bold").alias("ed"),
+            fragmentation_udf("bolds", "bold").alias("frag"),
+            aggregation_udf("bolds", "bold").alias("agg"),
+        ).collect()
+    }
+    for i, q, b, lst in rows:
+        assert out[i]["ed"] == pytest.approx(K.min_edit_dist(q, b), abs=1e-12)
+        assert out[i]["frag"] == pytest.approx(K.fragmentation(lst, b), abs=1e-12)
+        assert out[i]["agg"] == pytest.approx(K.aggregation(lst, b), abs=1e-12)
