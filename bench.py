@@ -46,6 +46,13 @@ HEADLINE = [
 ER_BENCH = {"n_clusters": 6000, "avg_cluster_size": 3.0,
             "singleton_fraction": 0.4, "seed": 42}
 
+# bigger corpus for the N-vs-4N scaling evidence: the 6k-cluster corpus
+# finishes in ~15 s where fixed overheads (scheduling, python-worker
+# startup, CC actions) dominate and mask the parallel fraction; 80k
+# clusters (~237k rows, ~4.5M scored pairs) keeps each level's run in
+# compute-bound territory
+SCALE_BENCH = {"n_clusters": 80_000, "singleton_fraction": 0.4, "seed": 42}
+
 
 def _corpus_path() -> str:
     key = "_".join(str(v) for v in ER_BENCH.values())
@@ -64,26 +71,74 @@ def ensure_corpus(spark) -> str:
     return path
 
 
+def ensure_scale_corpus() -> str:
+    path = (f"/root/corpora/smaph_scale_corpus_"
+            f"{SCALE_BENCH['n_clusters'] // 1000}k_{SCALE_BENCH['seed']}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from smaph_spark.session import get_spark
+        from smaph_spark.sources.synthetic import generate_files_corpus_spark
+
+        spark = get_spark("gen_scale_corpus")
+        df = generate_files_corpus_spark(spark, **SCALE_BENCH)
+        df.drop("cluster_idx").repartition(64).write.mode("overwrite").parquet(path)
+        spark.stop()
+    return path
+
+
+def _total_task_ms(spark):
+    """Sum of executorRunTime over completed stages (REST status API) —
+    task-seconds / wall-seconds gives achieved parallelism, a
+    noise-robust scaling signal on this host (single-run wall clocks
+    vary 2-4x; CPU-seconds vary far less)."""
+    import urllib.request
+
+    try:
+        ui = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        stages = json.load(
+            urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages?status=complete")
+        )
+        return sum(s["executorRunTime"] for s in stages)
+    except Exception:
+        return None
+
+
 def run_er_job(spark, corpus: str) -> dict:
     """The scaling-rule job: full ER pipeline, measured end-to-end.
     Returns rows, scored pairs, elapsed, pairs/sec."""
     from smaph_spark.config import ERConfig
     from smaph_spark.pipeline import ERPipeline
 
+    # the pipeline persists its stages; drop previous runs' cached data
+    # so every measured pass starts cold (best-of must not reuse cache)
+    spark.catalog.clearCache()
+    task_ms_before = _total_task_ms(spark)
     files = spark.read.parquet(corpus)
+    cfg = ERConfig()
+    if os.environ.get("SMAPH_ER_NO_BROADCAST") == "1":
+        from dataclasses import replace
+
+        # the at-scale configuration (>~1e9 rows): shuffle join instead
+        # of a driver-built broadcast of the pair payload
+        cfg = replace(cfg, broadcast_payload=False)
     t0 = time.time()
-    pipe = ERPipeline(spark, ERConfig())
+    pipe = ERPipeline(spark, cfg)
     res = pipe.run(files)
     n_pairs = res.pairs_scored.count()
     n_clusters = res.clusters.select("cluster_id").distinct().count()
     elapsed = time.time() - t0
-    return {
+    out = {
         "rows": files.count(),
         "pairs_scored": n_pairs,
         "n_clusters": n_clusters,
         "elapsed_sec": round(elapsed, 2),
         "pairs_per_sec": round(n_pairs / elapsed, 1),
     }
+    task_ms_after = _total_task_ms(spark)
+    if task_ms_before is not None and task_ms_after is not None:
+        out["task_sec"] = round((task_ms_after - task_ms_before) / 1000, 1)
+        out["avg_parallelism"] = round(out["task_sec"] / elapsed, 2)
+    return out
 
 
 def run_headline(spark, sf_dir: str) -> dict:
@@ -127,8 +182,13 @@ def main_default() -> None:
 def main_er_only(cpus: int) -> None:
     from smaph_spark.session import get_spark
 
+    # 4 shuffle partitions per core: salted blocks are still skewed
+    # within a partition, and one-partition-per-core turns the fattest
+    # block into a stage straggler; finer partitions let the scheduler
+    # rebalance (AQE re-coalesces the small ones)
     spark = get_spark(
-        f"bench_er_{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus,
+        f"bench_er_{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=cpus * 4,
         extra_conf={"spark.driver.memory": "24g"},
     )
     corpus = os.environ.get("SMAPH_SCALING_CORPUS") or ensure_corpus(spark)
@@ -157,12 +217,14 @@ def main_scaling() -> None:
     pair = (n, 4 * n)
     results: dict[int, dict] = {}
     rounds = int(os.environ.get("SMAPH_SCALING_ROUNDS", "2"))
+    corpus = os.environ.get("SMAPH_SCALING_CORPUS") or ensure_scale_corpus()
     for _ in range(rounds):
         for cpus in pair:
             proc = subprocess.run(
                 [sys.executable, __file__, "--er-only", str(cpus)],
                 capture_output=True, text=True, cwd=REPO,
-                env={**os.environ, "SMAPH_SCALING_REPS": "1"},
+                env={**os.environ, "SMAPH_SCALING_REPS": "1",
+                     "SMAPH_SCALING_CORPUS": corpus},
             )
             line = [l for l in proc.stdout.splitlines()
                     if l.startswith("ER_RESULT ")]
@@ -189,16 +251,20 @@ def main_scaling() -> None:
     with open(os.path.join(REPO, "BENCH.md"), "a") as fh:
         fh.write(
             f"\n## Scaling run ({time.strftime('%Y-%m-%d %H:%M:%S')})\n\n"
-            f"| parallelism | rows | pairs scored | elapsed (s) | pairs/sec |\n"
-            f"|---|---|---|---|---|\n"
+            f"| parallelism | rows | pairs scored | elapsed (s) | pairs/sec | achieved parallelism |\n"
+            f"|---|---|---|---|---|---|\n"
             f"| local[{lo}] | {results[lo]['rows']} | {results[lo]['pairs_scored']} | "
-            f"{results[lo]['elapsed_sec']} | {tp_lo} |\n"
+            f"{results[lo]['elapsed_sec']} | {tp_lo} | "
+            f"{results[lo].get('avg_parallelism', 'n/a')} of {lo} |\n"
             f"| local[{hi}] | {results[hi]['rows']} | {results[hi]['pairs_scored']} | "
-            f"{results[hi]['elapsed_sec']} | {tp_hi} |\n\n"
+            f"{results[hi]['elapsed_sec']} | {tp_hi} | "
+            f"{results[hi].get('avg_parallelism', 'n/a')} of {hi} |\n\n"
             f"Scaling efficiency (throughput ratio / 4): **{eff:.3f}** "
             f"(target >= 0.8 per BASELINE.json north_rule). Best-of-"
             f"{rounds} interleaved rounds; see BENCH.md header for why "
-            f"N=4 (python-worker core duality in local mode).\n"
+            f"N=4 (python-worker core duality in local mode). Achieved "
+            f"parallelism = task-seconds / wall-seconds, the noise-robust "
+            f"signal on this host (single-run wall clocks vary 2-4x).\n"
         )
 
 

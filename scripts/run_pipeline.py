@@ -5,7 +5,8 @@
 Usage:
   spark-submit --py-files smaph_spark.zip scripts/run_pipeline.py \
       --input <files parquet> --output <clusters parquet> \
-      [--checkpoint-dir DIR] [--threshold 0.6] [--no-broadcast-payload]
+      [--checkpoint-dir DIR] [--threshold 0.6] [--no-broadcast-payload] \
+      [--scorer models/gbt_scorer]   # persisted trained scorer (S8)
 
 Package with:  python scripts/package.py   (→ dist/smaph_spark.zip)
 """
@@ -23,6 +24,9 @@ def main() -> None:
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--threshold", type=float, default=None)
     ap.add_argument("--no-broadcast-payload", action="store_true")
+    ap.add_argument("--scorer", default=None,
+                    help="path of a persisted scorer dir (save_scorer); "
+                         "its swept threshold is used unless --threshold")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -31,7 +35,13 @@ def main() -> None:
     from smaph_spark.pipeline import ERPipeline
 
     spark = SparkSession.builder.appName("smaph_spark_er").getOrCreate()
+    scorer_model = None
     kwargs = {}
+    if args.scorer:
+        from smaph_spark.operators.model_io import load_scorer
+
+        scorer_model, swept_threshold, _ = load_scorer(args.scorer)
+        kwargs["match_threshold"] = swept_threshold
     if args.threshold is not None:
         kwargs["match_threshold"] = args.threshold
     if args.no_broadcast_payload:
@@ -39,7 +49,8 @@ def main() -> None:
     cfg = ERConfig(**kwargs)
 
     files = spark.read.parquet(args.input)
-    pipe = ERPipeline(spark, cfg, checkpoint_dir=args.checkpoint_dir)
+    pipe = ERPipeline(spark, cfg, checkpoint_dir=args.checkpoint_dir,
+                      scorer_model=scorer_model)
     res = pipe.run(files)
     res.clusters.write.mode("overwrite").parquet(args.output)
     violations = ERPipeline.verify_content_sha(files, res.normalized)

@@ -361,17 +361,13 @@ def strip_parenthetical(title: str) -> str:
 
 
 def stem_word(w: str) -> str:
-    """Light deterministic English suffix-stripper standing in for the
-    reference's Snowball stemmer (SmaphUtils.stemString, :323-335).
-    Only used by fragmentation/aggregation features; self-consistent."""
-    if len(w) > 4:
-        for suf, rep in (("sses", "ss"), ("ies", "i"), ("ing", ""), ("edly", ""),
-                         ("ed", ""), ("ly", "")):
-            if w.endswith(suf) and len(w) - len(suf) >= 3:
-                return w[: len(w) - len(suf)] + rep
-    if len(w) > 3 and w.endswith("s") and not w.endswith(("ss", "us", "is")):
-        return w[:-1]
-    return w
+    """Porter2 / Snowball English stemming (SmaphUtils.stemString,
+    :323-335, which uses org.tartarus.snowball EnglishStemmer — the
+    published Porter2 algorithm, re-implemented from the public spec in
+    functions/porter2.py). Replaces round 1's light suffix-stripper."""
+    from smaph_spark.functions.porter2 import stem
+
+    return stem(w)
 
 
 _HAS_ALNUM = re.compile(r"[a-zA-Z0-9]")

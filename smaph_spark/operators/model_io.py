@@ -210,3 +210,51 @@ def train_default_scorer(spark: SparkSession, cfg: ERConfig | None = None,
     stats = fit_zscore(feat)
     feat.unpersist()
     return model, threshold, stats, report
+
+
+# ---------------------------------------------------------------------------
+# M6 — libsvm-format example dump (ExampleGatherer.dumpExamplesLibSvm)
+# ---------------------------------------------------------------------------
+
+def dump_examples_libsvm(
+    labeled_feat: DataFrame,
+    path: str,
+    feature_cols: list[str] | None = None,
+    zscore_stats: dict | None = None,
+) -> None:
+    """Write labeled pair features as libsvm text lines —
+    ``<gold%.5f> 1:<f1%.9f> 2:<f2> ...  #id=<group>`` — the format of
+    ExampleGatherer.dumpExamplesLibSvm/writeLineLibSvm
+    (learn/ExampleGatherer.java:276-309), with the reference's
+    per-group lexicographic line sort for byte-stable output (its
+    comment: "lines are output always in the same order"). Distributed:
+    lines are built with JVM expressions and written through the text
+    sink; the per-group sort becomes sortWithinPartitions after
+    repartitioning by the group key."""
+    from smaph_spark.operators.scoring import apply_zscore
+
+    cols = feature_cols or FEATURE_COLS
+    df = labeled_feat
+    if zscore_stats:
+        df = apply_zscore(df, zscore_stats)
+    gold = F.col("label") if "label" in df.columns else F.col(
+        "is_match"
+    ).cast("double")
+    parts = [F.format_string("%.5f ", gold)]
+    for i, c in enumerate(cols):
+        parts.append(
+            F.format_string(f"{i + 1}:%.9f ", F.col(c).cast("double"))
+        )
+    group = (
+        F.col("block_key") if "block_key" in df.columns else F.lit("0")
+    )
+    parts.append(F.concat(F.lit(" #id="), group.cast("string")))
+    line = F.concat(*parts)
+    (
+        df.select(line.alias("value"), group.alias("_g"))
+        .repartition("_g")
+        .sortWithinPartitions("_g", "value")
+        .select("value")
+        .write.mode("overwrite")
+        .text(path)
+    )

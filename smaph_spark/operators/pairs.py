@@ -60,6 +60,40 @@ def _minhash_agree_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series((A == B).mean(axis=1))
 
 
+@F.pandas_udf(
+    T.StructType(
+        [
+            T.StructField("jaccard_est", T.DoubleType()),
+            T.StructField("name_jw", T.DoubleType()),
+            T.StructField("path_ned", T.DoubleType()),
+        ]
+    )
+)
+def _pair_kernel_udf(
+    l_mh: pd.Series, r_mh: pd.Series,
+    l_name: pd.Series, r_name: pd.Series,
+    l_path: pd.Series, r_path: pd.Series,
+) -> pd.DataFrame:
+    """ALL Python-side pair features in ONE Arrow exchange: positional
+    minhash agreement (the unbiased MinHash estimator — one vectorized
+    numpy compare, vs ~50µs/pair of interpreted JVM array_intersect
+    hash-set builds measured as the pair stage's CPU hog), batched
+    Jaro-Winkler, batched normalized edit distance. One UDF = one
+    serialization round-trip instead of three plan nodes."""
+    A = np.stack(l_mh.to_numpy())
+    B = np.stack(r_mh.to_numpy())
+    return pd.DataFrame(
+        {
+            "jaccard_est": (A == B).mean(axis=1) if A.size else
+            np.zeros(len(l_mh)),
+            "name_jw": K.jaro_winkler_batch(l_name.to_numpy(), r_name.to_numpy()),
+            "path_ned": K.norm_edit_distance_batch(
+                l_path.to_numpy(), r_path.to_numpy()
+            ),
+        }
+    )
+
+
 def minhash_agreement_col(l: str, r: str):
     """Minhash agreement rate as a pure JVM column expression:
     |array_intersect| / |array|. For minhash signatures, shared values
@@ -139,10 +173,15 @@ def attach_pair_features(
     # (Spark 4 default) would throw DIVIDE_BY_ZERO on plain `/`
     df = (
         df.withColumn(
-            "jaccard_est", minhash_agreement_col("l_minhash", "r_minhash")
+            "_pf",
+            _pair_kernel_udf(
+                "l_minhash", "r_minhash", "l_name", "r_name",
+                "l_path", "r_path",
+            ),
         )
-        .withColumn("name_jw", _jw_udf("l_name", "r_name"))
-        .withColumn("path_ned", _ned_udf("l_path", "r_path"))
+        .withColumn("jaccard_est", F.col("_pf.jaccard_est"))
+        .withColumn("name_jw", F.col("_pf.name_jw"))
+        .withColumn("path_ned", F.col("_pf.path_ned"))
         .withColumn(
             "size_ratio",
             F.coalesce(

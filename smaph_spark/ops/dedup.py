@@ -97,62 +97,54 @@ def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="X6 n-gram segments (SmaphUtils.findSegments:426-433) as pair feature",
 )
 def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tokens as a MATERIALIZED column, and the short-doc filter on
+    # size(toks) BEFORE the n-gram projection: a filter referencing the
+    # n-gram column gets pushed below the project with the whole
+    # higher-order expression inlined into the condition — measured 15x
+    # slower (the split re-ran per element_at inside the lambda)
     d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
-    toks = F.split(F.trim("text"), r"\s+")
-    # guard: sequence(0, n) with n<0 would yield a DESCENDING sequence
-    # and element_at(toks, 0) errors — short docs get an empty array
-    ngrams = F.when(
-        F.size(toks) >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - 3),
-                lambda i: F.concat_ws(
+    t1 = d.select(
+        "doc_id", "lang", "source", F.split(F.trim("text"), r"\s+").alias("toks")
+    ).filter(F.size("toks") >= 3)
+    tc = F.col("toks")
+    # hash n-grams to int64 in one pass: array_intersect on longs is
+    # ~10x cheaper than on strings; set cardinalities (and hence
+    # Jaccard) are preserved w.h.p. (64-bit)
+    hashed = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(tc) - 3),
+            lambda i: F.xxhash64(
+                F.concat_ws(
                     " ",
-                    F.element_at(toks, i + 1),
-                    F.element_at(toks, i + 2),
-                    F.element_at(toks, i + 3),
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    # hash n-grams to int64: array_intersect on longs is ~10x cheaper
-    # than on strings and the arrays shrink ~10x in bytes; set
-    # cardinalities (and hence Jaccard) are preserved w.h.p. (64-bit)
-    hashed = F.array_distinct(F.transform(ngrams, lambda s: F.xxhash64(s)))
-    # repartition on the block key: the exchange materializes the
-    # n-gram arrays ONCE and every downstream consumer reads the same
-    # shuffle output (ReusedExchange) instead of regenerating n-grams
+                    F.element_at(tc, i + 1),
+                    F.element_at(tc, i + 2),
+                    F.element_at(tc, i + 3),
+                )
+            ),
+        )
+    )
+    # repartition: the exchange materializes the n-gram arrays ONCE and
+    # the prefix + both rerank consumers read the same shuffle output
     t = (
-        d.select("doc_id", "lang", "source", hashed.alias("ngrams"))
-        .filter(F.size(toks) >= 3)
-        .repartition("lang", "source")
+        t1.select("doc_id", "lang", "source", hashed.alias("ngrams"))
+        .repartition("doc_id")
     )
     # --- PPJoin-style prefix filter (EXACT; Xiao et al., WWW'08) -----------
     # Round 1 self-joined on (lang, source) alone — ~dozens of key
-    # values, so the join is all-pairs-per-block and quadratic at 100×.
-    # Candidate generation instead joins on a shared PREFIX n-gram:
-    # order each doc's n-grams by (block-local doc-frequency, hash) and
-    # keep the first |x| - ceil(t*|x|) + 1; any pair with Jaccard >= t
-    # provably shares a prefix token under a consistent order, and
-    # df-ascending ordering puts the RAREST n-grams in prefixes, so hot
-    # n-grams never become join keys. Jaccard on the full arrays stays
-    # as the exact rerank — the oracle is unchanged.
-    from pyspark.sql import Window as W
-
+    # values, so the join was all-pairs-per-block and quadratic at
+    # 100x. Candidates instead come from a shared PREFIX n-gram: sort
+    # each doc's hashed n-grams and keep the first |x|-ceil(t|x|)+1;
+    # any pair with Jaccard >= t provably shares a prefix token under a
+    # consistent global order (here: hash order, computed array-side
+    # with zero extra shuffles). At extreme skew, ordering by global
+    # doc-frequency instead (one extra agg+join) keeps hot n-grams out
+    # of prefixes (AllPairs/PPJoin); AQE skew-join covers the moderate
+    # case. Full-set Jaccard stays as the exact rerank.
     thr = 0.2
-    tok = t.select(
-        "doc_id", "lang", "source", F.size("ngrams").alias("n"),
-        F.explode("ngrams").alias("g"),
-    )
-    dfreq = tok.groupBy("lang", "source", "g").agg(F.count("*").alias("df"))
-    pos = F.row_number().over(
-        W.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("g"))
-    )
-    prefix = (
-        tok.join(dfreq, ["lang", "source", "g"])
-        .withColumn("pos", pos)
-        .filter(F.col("pos") <= F.col("n") - F.ceil(F.lit(thr) * F.col("n")) + 1)
-        .select("doc_id", "lang", "source", "g")
+    plen = F.size("ngrams") - F.ceil(F.lit(thr) * F.size("ngrams")) + 1
+    prefix = t.select(
+        "doc_id", "lang", "source",
+        F.explode(F.slice(F.array_sort("ngrams"), F.lit(1), plen)).alias("g"),
     )
     cand = (
         prefix.select(F.col("doc_id").alias("a_doc"), "lang", "source", "g")

@@ -119,6 +119,12 @@ class ERPipeline:
         if path:
             df.write.mode("overwrite").parquet(path)
             df = self.spark.read.parquet(path)
+        else:
+            # no snapshot to re-read from: persist so downstream stages
+            # (and the CC iterations) don't re-execute the whole DAG —
+            # without this the match join recomputed once per terminal
+            # action, the dominant serial overhead in the bench job
+            df = df.persist()
         m = {"elapsed_sec": round(time.time() - t0, 3)}
         if path:
             m["rows"] = df.count()
@@ -141,10 +147,6 @@ class ERPipeline:
         normalized = self._load_or_compute(
             "s1_normalized", lambda: normalize_files(files, cfg).drop("content")
         )
-        if self.checkpoint_dir is None:
-            # single-action runs reuse the fingerprinted rows twice
-            # (blocking + payload attach) — cache instead of recompute
-            normalized = normalized.persist()
 
         def _blocks():
             blocks = generate_blocks(normalized, cfg)

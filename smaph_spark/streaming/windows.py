@@ -48,3 +48,70 @@ def run_to_memory(stream_df: DataFrame, name: str) -> None:
     )
     q.processAllAvailable()
     q.stop()
+
+
+def streaming_exact_dedup(
+    spark: SparkSession, docs_dir: str, schema, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup (dd01's streaming twin): emit each distinct
+    content hash once within the watermark horizon via
+    dropDuplicatesWithinWatermark — the state-store-backed analogue of
+    the batch hash-groupBy; state for a hash is dropped once the
+    watermark passes it, bounding memory on an unbounded stream."""
+    docs = spark.readStream.schema(schema).parquet(docs_dir)
+    docs = docs.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        docs.withColumn("text_md5", F.md5(F.coalesce(F.col("text"), F.lit(""))))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["text_md5"])
+        .select("doc_id", "text_md5", "ts")
+    )
+
+
+def streaming_match_count_stateful(
+    spark: SparkSession, pairs_dir: str, schema, threshold: float = 0.6,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per block_key, maintain a running (n_pairs, n_matches) state over
+    the scored-pair stream and emit an updated row per batch — the
+    streaming form of the pipeline's per-block match metrics (A10).
+    State times out on the event-time watermark."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    pairs = spark.readStream.schema(schema).parquet(pairs_dir)
+    pairs = pairs.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", watermark
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            (block_key,) = key
+            n_pairs, n_matches = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"block_key": [block_key], "n_pairs": [n_pairs],
+                 "n_matches": [n_matches], "final": [True]}
+            )
+            return
+        n_pairs, n_matches = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n_pairs += len(pdf)
+            n_matches += int((pdf["score"] >= threshold).sum())
+        state.update((n_pairs, n_matches))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3_600_000)
+        (block_key,) = key
+        yield pd.DataFrame(
+            {"block_key": [block_key], "n_pairs": [n_pairs],
+             "n_matches": [n_matches], "final": [False]}
+        )
+
+    return pairs.groupBy("block_key").applyInPandasWithState(
+        update,
+        outputStructType="block_key string, n_pairs long, n_matches long, "
+                         "final boolean",
+        stateStructType="n_pairs long, n_matches long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -134,3 +134,21 @@ def test_cosine_self_join_matches_bruteforce(spark):
     assert set(got) == set(want)
     for k, v in want.items():
         assert got[k] == pytest.approx(v, abs=1e-9)
+
+
+def test_dd05_plan_is_distributed(spark):
+    """Regression (round-1 VERDICT): dd05 must not collect the table to
+    the driver — the plan runs the GEMM via cogrouped pandas, and
+    building the plan triggers no job."""
+    df = QUERIES["dd05_embedding_dup_pairs"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_dd02_plan_has_no_block_only_join(spark):
+    """Regression: the candidate join must be keyed on a content-derived
+    prefix n-gram, not on (lang, source) alone."""
+    df = QUERIES["dd02_ngram_jaccard_pairs"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the self-join condition includes the exploded prefix gram column
+    assert plan.count("array_sort") >= 1 and "slice" in plan

@@ -431,3 +431,49 @@ def test_fragmentation_aggregation_batch_match_scalar(lists, bolds):
 
 def test_java_nonword_wordcount_all_nonword():
     assert K.java_nonword_wordcount("!!!") == 0  # all fields empty in Java
+
+
+# --- X11: Porter2 / Snowball English stemmer ------------------------------
+def test_porter2_known_stems():
+    """Published Porter2 sample outputs (snowballstem.org English
+    vocabulary; the reference stems with org.tartarus EnglishStemmer =
+    Porter2 — SmaphUtils.stemString:323-335)."""
+    from smaph_spark.functions.porter2 import stem
+
+    cases = {
+        "consigned": "consign", "consistency": "consist",
+        "consistently": "consist", "knackeries": "knackeri",
+        "knaves": "knave", "kneaded": "knead", "knees": "knee",
+        "generate": "generat", "generically": "generic",
+        "generously": "generous", "general": "general",
+        "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+        "news": "news", "sky": "sky", "inning": "inning",
+        "proceed": "proceed", "caresses": "caress", "ties": "tie",
+        "cries": "cri", "agreed": "agre", "plastered": "plaster",
+        "motoring": "motor", "sing": "sing", "hopping": "hop",
+        "tanned": "tan", "falling": "fall", "filing": "file",
+        "happy": "happi", "relational": "relat",
+        "conditional": "condit", "rational": "ration",
+        "digitizer": "digit", "operator": "oper",
+        "feudalism": "feudal", "decisiveness": "decis",
+        "hopefulness": "hope", "formality": "formal",
+        "sensitivity": "sensit", "sensibility": "sensibl",
+        "electricity": "electr", "electrical": "electr",
+        "hopeful": "hope", "goodness": "good", "revival": "reviv",
+        "allowance": "allow", "inference": "infer",
+        "airliner": "airlin", "adjustable": "adjust",
+        "defensible": "defens", "irritant": "irrit",
+        "replacement": "replac", "adjustment": "adjust",
+        "dependent": "depend", "adoption": "adopt",
+        "communism": "communism", "activate": "activ",
+        "homologous": "homolog", "effective": "effect",
+        "bowdlerize": "bowdler", "rate": "rate", "cease": "ceas",
+        "controll": "control", "roll": "roll",
+    }
+    bad = {w: (stem(w), want) for w, want in cases.items() if stem(w) != want}
+    assert not bad, bad
+
+
+def test_stem_word_uses_porter2():
+    assert K.stem_word("generously") == "generous"
+    assert K.stem_word("happy") == "happi"

@@ -108,3 +108,32 @@ def test_train_default_scorer_untuned(spark):
     assert 0.0 < threshold < 1.0
     assert set(stats) == set(FEATURE_COLS)
     assert report == {"tuned": False}
+
+
+def test_libsvm_dump_format(spark, tmp_path):
+    """M6 (ExampleGatherer.dumpExamplesLibSvm:276-309): gold %.5f, then
+    1-indexed `i:%.9f` features, ` #id=<group>`, lines sorted within a
+    group."""
+    import glob
+
+    from smaph_spark.operators.model_io import dump_examples_libsvm
+
+    df = spark.createDataFrame(
+        [
+            (1, 2, "blk", 0.5, 0.25, True),
+            (3, 4, "blk", 0.125, 1.0, False),
+        ],
+        "left_id long, right_id long, block_key string, "
+        "jaccard_est double, name_jw double, is_match boolean",
+    )
+    out = str(tmp_path / "examples")
+    dump_examples_libsvm(df, out, feature_cols=["jaccard_est", "name_jw"])
+    lines = []
+    for f in glob.glob(f"{out}/part-*"):
+        with open(f) as fh:
+            lines += [l.rstrip("\n") for l in fh if l.strip()]
+    lines.sort()
+    assert lines == [
+        "0.00000 1:0.125000000 2:1.000000000  #id=blk",
+        "1.00000 1:0.500000000 2:0.250000000  #id=blk",
+    ]

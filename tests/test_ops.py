@@ -157,3 +157,64 @@ def test_bold_feature_udfs_match_scalar(spark):
         assert out[i]["ed"] == pytest.approx(K.min_edit_dist(q, b), abs=1e-12)
         assert out[i]["frag"] == pytest.approx(K.fragmentation(lst, b), abs=1e-12)
         assert out[i]["agg"] == pytest.approx(K.aggregation(lst, b), abs=1e-12)
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """dd01's streaming twin: one row per distinct text hash within the
+    watermark horizon (dropDuplicatesWithinWatermark state-store path)."""
+    import pandas as pd
+
+    from smaph_spark.streaming.windows import run_to_memory, streaming_exact_dedup
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["aaa", "aaa", "bbb", "ccc"],
+            "ts": pd.to_datetime(
+                ["2026-01-01 00:00", "2026-01-01 00:10",
+                 "2026-01-01 00:20", "2026-01-01 00:30"]
+            ),
+        }
+    )
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(pdf).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    run_to_memory(streaming_exact_dedup(spark, src, schema), "dedup_out")
+    rows = spark.sql("SELECT * FROM dedup_out").collect()
+    hashes = [r["text_md5"] for r in rows]
+    assert len(hashes) == len(set(hashes)) == 3  # aaa emitted once
+
+
+def test_streaming_stateful_match_counts(spark, tmp_path):
+    """applyInPandasWithState custom stateful operator: per-block
+    running match counters over a scored-pair stream."""
+    import pandas as pd
+
+    from smaph_spark.streaming.windows import (
+        run_to_memory, streaming_match_count_stateful,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "block_key": ["b1", "b1", "b1", "b2"],
+            "score": [0.9, 0.2, 0.7, 0.1],
+            "ts": pd.to_datetime(
+                ["2026-01-01 00:00", "2026-01-01 00:05",
+                 "2026-01-01 00:10", "2026-01-01 00:15"]
+            ),
+        }
+    )
+    src = str(tmp_path / "pairs")
+    spark.createDataFrame(pdf).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = streaming_match_count_stateful(spark, src, schema, threshold=0.6)
+    q = (
+        stream.writeStream.outputMode("update").format("memory")
+        .queryName("match_counts").trigger(availableNow=True).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {r["block_key"]: r for r in
+            spark.sql("SELECT * FROM match_counts").collect()}
+    assert rows["b1"]["n_pairs"] == 3 and rows["b1"]["n_matches"] == 2
+    assert rows["b2"]["n_pairs"] == 1 and rows["b2"]["n_matches"] == 0
