@@ -60,3 +60,24 @@ def test_partitioned_parquet_pruning(spark, tmp_path):
     assert scan.count() == 2
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_files_table_loader_parquet_fallback(spark, tmp_path):
+    """Iceberg loader: parquet fallback works; the iceberg: scheme
+    fails loudly (not silently) when no runtime jar is present."""
+    import pytest as _pytest
+
+    from smaph_spark.sources.tables import (
+        iceberg_available, load_files_table,
+    )
+
+    df = spark.createDataFrame(
+        [("r", "p", "c", "py", "x")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    path = str(tmp_path / "files_pq")
+    df.write.parquet(path)
+    assert load_files_table(spark, path).count() == 1
+    if not iceberg_available(spark):
+        with _pytest.raises(RuntimeError, match="Iceberg"):
+            load_files_table(spark, "iceberg:cat.db.files")
