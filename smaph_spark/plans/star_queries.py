@@ -361,7 +361,7 @@ def q10(spark, sf_dir):
     SELECT p_brand AS brand,
            ROUND(MIN(p_retailprice), 2) AS min_price,
            ROUND(MAX(p_retailprice), 2) AS max_price,
-           ROUND(AVG(p_retailprice), 4) AS avg_price,
+           ROUND(SUM(p_retailprice::DECIMAL(18,2)) / COUNT(*), 4) AS avg_price,
            COUNT(*) AS n_parts,
            COUNT(DISTINCT p_type) AS n_types
     FROM part GROUP BY p_brand
@@ -373,7 +373,11 @@ def q11(spark, sf_dir):
     return p.groupBy(F.col("p_brand").alias("brand")).agg(
         F.round(F.min("p_retailprice"), 2).alias("min_price"),
         F.round(F.max("p_retailprice"), 2).alias("max_price"),
-        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        # exact decimal sum, not double avg: a knife-edge mean (x.xx375)
+        # rounded differently under the engines' float summation orders
+        F.round(
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)")) / F.count("*"), 4
+        ).cast("double").alias("avg_price"),
         F.count("*").alias("n_parts"),
         F.countDistinct("p_type").alias("n_types"),
     )
