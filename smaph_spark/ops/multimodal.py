@@ -101,3 +101,92 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     binary = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return extract_features(binary)
+
+
+# ---------------------------------------------------------------------------
+# resize + frame-sample plumbing (mm03): the pixel work is stubbed (no
+# PIL/cv2/ffmpeg in this container) but the Spark-side contract is real
+# — batch shape, deterministic sampling, fixed schemas, exploded frames
+# ---------------------------------------------------------------------------
+
+RESIZE_SCHEMA = (
+    "doc_id long, target_w int, target_h int, scale_x double, "
+    "scale_y double, resizer string"
+)
+
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, frame_offset_bytes long, "
+    "frame_sha string, sampler string"
+)
+
+
+def resize_images(
+    binary_df: DataFrame, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """binary(doc_id, payload) -> per-image resize metadata.
+
+    Real implementation resamples pixels (PIL.Image.resize); the stub
+    computes the scale factors from the fake-decoded dimensions, which
+    is exactly the metadata a downstream batch-training pipeline
+    partitions on. Single swap point: replace fake_decode_meta."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [fake_decode_meta(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "target_w": target_w,
+                    "target_h": target_h,
+                    "scale_x": [round(target_w / m[0], 6) for m in metas],
+                    "scale_y": [round(target_h / m[1], 6) for m in metas],
+                    "resizer": "stub-meta",
+                }
+            )
+
+    return binary_df.mapInPandas(op, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(
+    binary_df: DataFrame, n_frames: int = 4, chunk: int = 256
+) -> DataFrame:
+    """binary(doc_id, payload) -> one row per sampled 'frame'.
+
+    Treats the payload as a fake video: fixed-size byte chunks stand in
+    for frames; sampling picks n_frames chunk offsets evenly (the
+    deterministic uniform-stride sampler a real ffmpeg-backed version
+    would use with PTS timestamps). Output explodes rows — the shape a
+    frame-level training pipeline consumes."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_offset_bytes": [],
+                   "frame_sha": [], "sampler": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_chunks = max(1, len(payload) // chunk)
+                take = min(n_frames, n_chunks)
+                for i in range(take):
+                    off = (i * n_chunks // take) * chunk
+                    frame = bytes(payload[off : off + chunk])
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(i)
+                    out["frame_offset_bytes"].append(off)
+                    out["frame_sha"].append(
+                        hashlib.sha256(frame).hexdigest()[:16]
+                    )
+                    out["sampler"].append("stub-stride")
+            yield pd.DataFrame(out)
+
+    return binary_df.mapInPandas(op, schema=FRAME_SCHEMA)
+
+
+@register(
+    "mm03_frame_samples",
+    None,  # stubbed frame decode — rows-only check
+    survey_ref="multimodal frame-sample via mapInPandas (uniform stride, "
+               "exploded frame rows; stubbed byte-chunk frames)",
+)
+def mm_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    binary = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return sample_frames(binary)

@@ -152,3 +152,107 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("q_vec", "n_vec", F.round("cos_raw", 4).alias("cos"), "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (scale path #2): k-means coarse quantizer -> probe nearest
+# partitions -> exact rerank. Complements the hyperplane-LSH variant:
+# IVF adapts its cells to the data distribution where LSH is oblivious.
+# ---------------------------------------------------------------------------
+
+def train_ivf_centroids(
+    e: DataFrame, n_cells: int = 16, seed: int = 7, emb_col: str = "emb"
+):
+    """Fit the coarse quantizer (pyspark.ml KMeans — distributed
+    Lloyd's over the full table; at 100 TB fit on a sample). Returns a
+    (n_cells, dim) numpy array of centroids."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = e.select(array_to_vector(F.col(emb_col)).alias("features"))
+    km = KMeans(k=n_cells, seed=seed, maxIter=20)
+    model = km.fit(vecs)
+    return np.array(model.clusterCenters())
+
+
+def make_ivf_cells_udf(centroids: np.ndarray, n_probe: int):
+    """Arrow UDF: embedding -> its n_probe nearest centroid ids (by
+    cosine). Used both to ASSIGN each indexed vector to its single home
+    cell (first id) and to pick the probe cells of a query."""
+    unit_c = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def cells(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(m, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        sims = (m / nrm) @ unit_c.T  # (batch, n_cells)
+        order = np.argsort(-sims, axis=1)[:, :n_probe]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    return cells
+
+
+def ivf_topk(
+    e: DataFrame,
+    query_filter,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF-style ANN: every vector lives in ONE cell (nearest
+    centroid); a query probes its `n_probe` nearest cells and exact-
+    reranks only those cells' members. Cell granularity bounds the
+    scanned fraction to ~n_probe/n_cells of the table; the cell join is
+    a plain equi-join on cell id, so Catalyst shuffles both sides once
+    on a small int key (no cross product)."""
+    from pyspark.sql import Window as W
+
+    centroids = train_ivf_centroids(e, n_cells=n_cells, seed=seed)
+    assign1 = make_ivf_cells_udf(centroids, 1)
+    probe = make_ivf_cells_udf(centroids, n_probe)
+    indexed = e.withColumn("cell", assign1("emb")[0])
+    queries = (
+        e.filter(query_filter)
+        .withColumn("probe_cells", probe("emb"))
+        .select(
+            F.col("vec_id").alias("q_vec"),
+            F.col("emb").alias("q_emb"),
+            F.explode("probe_cells").alias("cell"),
+        )
+    )
+    cand = (
+        queries.join(
+            indexed.select(
+                F.col("vec_id").alias("n_vec"),
+                F.col("emb").alias("n_emb"),
+                "cell",
+            ),
+            "cell",
+        )
+        .filter(F.col("q_vec") != F.col("n_vec"))
+        .withColumn("cos_raw", _cosine("q_emb", "n_emb"))
+    )
+    w = W.partitionBy("q_vec").orderBy(F.desc("cos_raw"), F.asc("n_vec"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_vec", "n_vec", F.round("cos_raw", 4).alias("cos"), "rnk")
+    )
+
+
+@register(
+    "sim03_ivf_topk",
+    None,  # approximate — recall vs sim01 asserted in tests, rows-only here
+    survey_ref="ANN scale path #2: IVF (KMeans coarse quantizer -> probe "
+               "n_probe cells -> exact rerank)",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    return ivf_topk(e, F.col("vec_id") < 10, k=5, n_cells=16, n_probe=4)

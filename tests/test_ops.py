@@ -218,3 +218,59 @@ def test_streaming_stateful_match_counts(spark, tmp_path):
             spark.sql("SELECT * FROM match_counts").collect()}
     assert rows["b1"]["n_pairs"] == 3 and rows["b1"]["n_matches"] == 2
     assert rows["b2"]["n_pairs"] == 1 and rows["b2"]["n_matches"] == 0
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark):
+    """IVF (KMeans cells + n_probe probing) must recover most of the
+    exact top-5; with n_probe=n_cells it IS exact."""
+    exact = {
+        (r["q_vec"], r["n_vec"])
+        for r in QUERIES["sim01_bruteforce_topk"].fn(spark, SF).collect()
+    }
+    approx = {
+        (r["q_vec"], r["n_vec"])
+        for r in QUERIES["sim03_ivf_topk"].fn(spark, SF).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF ANN recall {recall:.2f}"
+
+
+def test_ivf_full_probe_is_exact(spark):
+    from smaph_spark.ops.similarity import ivf_topk
+
+    e = (
+        QUERIES["sim01_bruteforce_topk"].fn(spark, SF).sparkSession
+        .read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb"))
+    )
+    exact = {
+        (r["q_vec"], r["n_vec"], r["rnk"])
+        for r in QUERIES["sim01_bruteforce_topk"].fn(spark, SF).collect()
+    }
+    full = {
+        (r["q_vec"], r["n_vec"], r["rnk"])
+        for r in ivf_topk(e, F.col("vec_id") < 10, k=5, n_cells=8,
+                          n_probe=8).collect()
+    }
+    assert full == exact
+
+
+def test_multimodal_resize_and_frames(spark):
+    from smaph_spark.ops import multimodal
+
+    df = spark.createDataFrame(
+        [(1, bytearray(bytes(range(256)) * 5)), (2, bytearray(b"tiny"))],
+        "doc_id long, payload binary",
+    )
+    rs = {r["doc_id"]: r for r in multimodal.resize_images(df).collect()}
+    assert rs[1]["target_w"] == 224 and rs[1]["scale_x"] > 0
+    fr = multimodal.sample_frames(df, n_frames=4, chunk=256).collect()
+    by_doc = {}
+    for r in fr:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 4  # 5 chunks -> 4 sampled frames
+    assert len(by_doc[2]) == 1  # tiny payload -> single frame
+    assert [r["frame_idx"] for r in sorted(by_doc[1], key=lambda r: r["frame_idx"])] == [0, 1, 2, 3]
+    # determinism
+    fr2 = multimodal.sample_frames(df, n_frames=4, chunk=256).collect()
+    assert sorted(map(tuple, fr)) == sorted(map(tuple, fr2))
