@@ -38,6 +38,14 @@ class ERConfig:
     # --- clustering ----------------------------------------------------------
     cc_max_iterations: int = 20      # hash-min CC bound (~cluster diameter)
     cc_checkpoint_every: int = 3     # truncate lineage every k iterations
+    cc_local_threshold: int = 100_000  # <= this many match edges → run
+                                     # union-find on the driver (a few MB;
+                                     # the iterative hash-min machinery
+                                     # costs ~10 stages of fixed overhead
+                                     # that dwarfs tiny graphs). Above it,
+                                     # the distributed path runs — at
+                                     # 100 TB the match graph is huge and
+                                     # always takes that path.
 
     # --- execution ------------------------------------------------------------
     pair_repartition: int | None = None  # override shuffle width for the

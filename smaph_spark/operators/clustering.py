@@ -32,6 +32,13 @@ def connected_components(
     records appear as singleton clusters (cluster_id = record_id).
     Returns (clusters, per-iteration metrics list).
     """
+    n_edges = matches.count()
+    if n_edges <= cfg.cc_local_threshold:
+        # tiny match graph: the iterative machinery (eager checkpoints +
+        # per-iteration join/agg jobs) costs ~10 fixed stages — union-find
+        # over a driver-local edge list (bounded at cc_local_threshold
+        # rows, a few MB) produces the identical min-id labeling
+        return _local_connected_components(matches, all_records, n_edges)
     edges = (
         matches.select(
             F.col("left_id").alias("src"), F.col("right_id").alias("dst")
@@ -119,4 +126,53 @@ def connected_components(
                 "cluster_id", F.coalesce(F.col("cluster_id"), F.col("record_id"))
             )
         )
+    return labels, history
+
+
+def _local_connected_components(
+    matches: DataFrame, all_records: DataFrame | None, n_edges: int
+) -> tuple[DataFrame, list[dict]]:
+    """Driver-side union-find for small match graphs (see
+    cc_local_threshold). Produces the same (record_id, cluster_id =
+    min record_id of component) labeling as the distributed hash-min
+    path; singletons handled identically via all_records."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    rows = matches.select("left_id", "right_id").collect()
+    for r in rows:
+        a, b = r["left_id"], r["right_id"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict[int, int] = {}
+    for node in parent:
+        root = find(node)
+        prev = comp_min.get(root)
+        if prev is None or node < prev:
+            comp_min[root] = node
+    labels_rows = [(node, comp_min[find(node)]) for node in parent]
+    spark = matches.sparkSession
+    labels = spark.createDataFrame(
+        labels_rows or [], "record_id long, cluster_id long"
+    )
+    if all_records is not None:
+        labels = (
+            all_records.select("record_id")
+            .join(F.broadcast(labels), "record_id", "left")
+            .withColumn(
+                "cluster_id", F.coalesce(F.col("cluster_id"), F.col("record_id"))
+            )
+        )
+    history = [{"local_union_find": True, "edges": int(n_edges)},
+               {"converged": True}]
     return labels, history

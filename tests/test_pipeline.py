@@ -137,3 +137,28 @@ def test_block_cap_metrics_logged(spark):
     pipe.run(files)
     caps = pipe._metrics["s2_block_caps"]
     assert caps["salted_blocks"] + caps["dropped_blocks"] > 0
+
+
+def test_cc_local_and_distributed_paths_agree(spark):
+    """The driver union-find fast path (cc_local_threshold) must yield
+    exactly the distributed hash-min labeling."""
+    from dataclasses import replace
+
+    from smaph_spark.operators.clustering import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 4)],
+        "left_id long, right_id long",
+    )
+    recs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 20, 21, 22, 99]], "record_id long"
+    )
+    cfg_local = ERConfig()  # threshold 100k -> local path
+    cfg_dist = replace(ERConfig(), cc_local_threshold=0)  # force distributed
+    loc, hist_l = connected_components(edges, cfg_local, all_records=recs)
+    dist, hist_d = connected_components(edges, cfg_dist, all_records=recs)
+    l = sorted((r["record_id"], r["cluster_id"]) for r in loc.collect())
+    d = sorted((r["record_id"], r["cluster_id"]) for r in dist.collect())
+    assert l == d
+    assert hist_l[0].get("local_union_find") is True
+    assert any("iteration" in h for h in hist_d)
