@@ -464,3 +464,89 @@ def dd_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_self_join(e, threshold=0.4).select(
         "a_vec", "b_vec", F.round("cos_raw", 4).alias("cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup, LSH-prefiltered (scale alternative to dd05)
+# ---------------------------------------------------------------------------
+
+def cosine_near_dup_lsh(
+    e: DataFrame,
+    threshold: float,
+    cfg: ERConfig | None = None,
+    n_planes: int = 32,
+    band_bits: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "emb",
+) -> tuple[DataFrame, DataFrame]:
+    """Approximate cosine near-dup: hyperplane-LSH band candidates
+    (hot bands capped/salted like dd03) + exact cosine rerank at
+    ``threshold``. Returns (pairs, cap_metrics).
+
+    The scale alternative to the exact block-matrix ``cosine_self_join``
+    (O(N²) FLOPs): candidate volume ~ sum of band-bucket C(n,2), linear
+    in N for hash-balanced buckets; recall follows the LSH s-curve
+    (1-(1-p^r)^b with p = 1 - θ/π) — asserted vs the exact operator in
+    tests, never silently assumed."""
+    from smaph_spark.ops.similarity import _cosine, make_hyperplane_udf
+
+    cfg = cfg or ERConfig(max_block_size=500, block_salt_buckets=8)
+    dim = len(e.select(emb_col).first()[0])
+    sig_udf = make_hyperplane_udf(dim=dim, n_planes=n_planes)
+    n_bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
+    sig = e.select(
+        F.col(id_col).alias("_vid"), F.col(emb_col).alias("_emb"),
+        sig_udf(emb_col).alias("_sig"),
+    )
+    bands = sig.select(
+        "_vid",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{b}:"),
+                        F.shiftrightunsigned("_sig", band_bits * b)
+                        .bitwiseAND(F.lit(mask))
+                        .cast("string"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    capped, cap_metrics = cap_band_keys(
+        bands, cfg, key_col="band_key", id_col="_vid"
+    )
+    cand = (
+        capped.select(F.col("_vid").alias("a_vec"), "band_key")
+        .join(capped.select(F.col("_vid").alias("b_vec"), "band_key"), "band_key")
+        .filter(F.col("a_vec") < F.col("b_vec"))
+        .select("a_vec", "b_vec")
+        .distinct()
+    )
+    pa = sig.select(F.col("_vid").alias("a_vec"), F.col("_emb").alias("a_emb"))
+    pb = sig.select(F.col("_vid").alias("b_vec"), F.col("_emb").alias("b_emb"))
+    pairs = (
+        cand.join(pa, "a_vec")
+        .join(pb, "b_vec")
+        .withColumn("cos_raw", _cosine("a_emb", "b_emb"))
+        .filter(F.col("cos_raw") >= threshold)
+        .select("a_vec", "b_vec", F.round("cos_raw", 4).alias("cos"))
+    )
+    return pairs, cap_metrics
+
+
+@register(
+    "dd06_embedding_dup_lsh",
+    None,  # approximate — recall vs the exact dd05 asserted in tests
+    survey_ref="embedding near-dup scale path: hyperplane-LSH band "
+               "candidates (capped) + exact cosine rerank",
+)
+def dd_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
+    )
+    pairs, _ = cosine_near_dup_lsh(e, threshold=0.4)
+    return pairs

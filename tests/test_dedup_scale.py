@@ -152,3 +152,23 @@ def test_dd02_plan_has_no_block_only_join(spark):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     # the self-join condition includes the exploded prefix gram column
     assert plan.count("array_sort") >= 1 and "slice" in plan
+
+
+def test_dd06_lsh_recall_vs_exact(spark):
+    """LSH-prefiltered near-dup must recover a solid fraction of the
+    exact >= 0.4 pairs and NEVER emit a below-threshold pair (the
+    rerank is exact)."""
+    exact = {
+        (r["a_vec"], r["b_vec"])
+        for r in QUERIES["dd05_embedding_dup_pairs"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    approx_rows = QUERIES["dd06_embedding_dup_lsh"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    approx = {(r["a_vec"], r["b_vec"]) for r in approx_rows}
+    assert approx <= exact, "rerank must make every emitted pair exact"
+    assert exact, "fixture should contain near-dup pairs"
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"LSH near-dup recall {recall:.2f}"
