@@ -29,13 +29,18 @@ def main() -> None:
     args = ap.parse_args()
 
     from smaph_spark.operators.model_io import save_scorer, train_default_scorer
+    from smaph_spark.ops.er_docs import _DOC_CFG
     from smaph_spark.session import get_spark
 
+    # train under the FLAGSHIP's config so training features match what
+    # the committed artifact sees at inference (round-2 ADVICE: the
+    # default-config artifact was applied to _DOC_CFG features), and
+    # record the config in scorer_meta.json so loaders can verify
     spark = get_spark("train_scorer")
     model, threshold, stats, report = train_default_scorer(
-        spark, tune=args.tune
+        spark, cfg=_DOC_CFG, tune=args.tune
     )
-    save_scorer(model, args.out, threshold, stats)
+    save_scorer(model, args.out, threshold, stats, train_cfg=_DOC_CFG)
     print(json.dumps({"out": args.out, "threshold": threshold,
                       "report": report}, indent=1, default=str))
     spark.stop()

@@ -65,6 +65,27 @@ class ERConfig:
         payload = json.dumps(asdict(self), sort_keys=True).encode()
         return hashlib.sha256(payload).hexdigest()[:16]
 
+    #: knobs that change the VALUE DISTRIBUTION of the pair features a
+    #: scorer is trained on (not merely which pairs are generated):
+    #: the content fingerprinting family and the signature width carried
+    #: into the pair join
+    _FEATURE_KNOBS = (
+        "shingle_k", "num_minhash", "lsh_bands", "minhash_seed",
+        "pair_minhash_width",
+    )
+
+    def feature_fingerprint(self) -> str:
+        """Fingerprint of the feature-affecting knobs only. Persisted in
+        scorer_meta.json so a trained scorer can detect train/serve
+        config skew (a scorer fit on shingle_k=7 features silently
+        degrades on shingle_k=5 features — the dominant jaccard_est
+        feature shifts distribution)."""
+        d = asdict(self)
+        payload = json.dumps(
+            {k: d[k] for k in self._FEATURE_KNOBS}, sort_keys=True
+        ).encode()
+        return hashlib.sha256(payload).hexdigest()[:16]
+
     @property
     def rows_per_band(self) -> int:
         assert self.num_minhash % self.lsh_bands == 0

@@ -93,17 +93,26 @@ def connected_components(
         labels = new_labels.select(
             "record_id", F.col("new_cluster_id").alias("cluster_id")
         )
+        final_checkpointed = False
         if (it + 1) % cfg.cc_checkpoint_every == 0 or changed == 0:
             # truncate lineage (plan growth, not recompute, is the cost
             # once each step reads from the persisted parent)
             labels = labels.localCheckpoint(eager=True)
             new_labels.unpersist()
+            final_checkpointed = True
         if prev_cached is not None:
             prev_cached.unpersist()
         prev_cached = new_labels
         history.append({"iteration": it, "label_changes": int(changed)})
         if changed == 0:
             break
+    # exhausting cc_max_iterations off the checkpoint cadence would
+    # leave the final iteration's persisted frame cached forever
+    # (round-2 ADVICE): detach labels from it, then drop it
+    if prev_cached is not None:
+        if not final_checkpointed:
+            labels = labels.localCheckpoint(eager=True)
+        prev_cached.unpersist()
     if changed != 0:
         # a transitive chain longer than cc_max_iterations hops would be
         # silently split — surface it (ADVICE round 1)

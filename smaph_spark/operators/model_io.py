@@ -36,17 +36,27 @@ from smaph_spark.operators.pairs import FEATURE_COLS
 # ---------------------------------------------------------------------------
 
 def save_scorer(
-    model, path: str, threshold: float, zscore_stats: dict | None = None
+    model, path: str, threshold: float, zscore_stats: dict | None = None,
+    train_cfg: ERConfig | None = None,
 ) -> None:
     """Persist (model, threshold, zscore table) as one directory:
     ``<path>/model`` (Spark ML native) + ``<path>/scorer_meta.json``
-    (the .zscore-file analogue)."""
+    (the .zscore-file analogue). ``train_cfg`` records the config the
+    training features were generated under — its feature fingerprint
+    lets loaders detect train/serve skew (round-2 ADVICE: a scorer fit
+    on shingle_k=7 features was silently applied to shingle_k=5
+    features)."""
     model.write().overwrite().save(os.path.join(path, "model"))
     meta = {
         "threshold": threshold,
         "zscore": {k: list(v) for k, v in (zscore_stats or {}).items()},
         "feature_cols": _model_feature_cols(model),
     }
+    if train_cfg is not None:
+        from dataclasses import asdict
+
+        meta["train_feature_fingerprint"] = train_cfg.feature_fingerprint()
+        meta["train_cfg"] = asdict(train_cfg)
     with open(os.path.join(path, "scorer_meta.json"), "w") as fh:
         json.dump(meta, fh, indent=1, sort_keys=True)
 
@@ -56,10 +66,16 @@ def load_scorer(path: str):
     from pyspark.ml import PipelineModel
 
     model = PipelineModel.load(os.path.join(path, "model"))
-    with open(os.path.join(path, "scorer_meta.json")) as fh:
-        meta = json.load(fh)
+    meta = load_scorer_meta(path)
     stats = {k: tuple(v) for k, v in meta.get("zscore", {}).items()}
     return model, float(meta["threshold"]), stats
+
+
+def load_scorer_meta(path: str) -> dict:
+    """The scorer_meta.json sidecar alone (cheap — no model load), for
+    train/serve fingerprint verification before committing to a load."""
+    with open(os.path.join(path, "scorer_meta.json")) as fh:
+        return json.load(fh)
 
 
 def _model_feature_cols(model) -> list[str]:

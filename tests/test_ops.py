@@ -274,3 +274,15 @@ def test_multimodal_resize_and_frames(spark):
     # determinism
     fr2 = multimodal.sample_frames(df, n_frames=4, chunk=256).collect()
     assert sorted(map(tuple, fr)) == sorted(map(tuple, fr2))
+
+def test_streaming_state_timeout_derived_from_watermark():
+    """The stateful operator's timeout follows the watermark argument,
+    not a fixed literal (round-2 ADVICE: watermark='1 minute' with a
+    hardcoded +1h offset held state ~60x past the documented horizon)."""
+    from smaph_spark.streaming.windows import duration_ms
+
+    assert duration_ms("1 minute") == 60_000
+    assert duration_ms("1 hour") == 3_600_000
+    assert duration_ms("30 seconds") == 30_000
+    assert duration_ms("500 milliseconds") == 500
+    assert duration_ms("2 days") == 172_800_000

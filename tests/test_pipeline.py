@@ -162,3 +162,35 @@ def test_cc_local_and_distributed_paths_agree(spark):
     assert l == d
     assert hist_l[0].get("local_union_find") is True
     assert any("iteration" in h for h in hist_d)
+
+def test_stage_path_keyed_by_scorer_identity(spark, tmp_path):
+    """A retrained scorer with an identical config/threshold must not
+    resume pair scores produced by the old model (round-2 ADVICE): the
+    snapshot directory is keyed by a scorer fingerprint too."""
+
+    class _Stage:
+        def __init__(self, uid):
+            self.uid = uid
+
+    class _Model:
+        def __init__(self, uid):
+            self.stages = [_Stage(uid)]
+
+    cfg = ERConfig()
+    ckpt = str(tmp_path)
+    p_rule = ERPipeline(spark, cfg, checkpoint_dir=ckpt)
+    p_m1 = ERPipeline(spark, cfg, checkpoint_dir=ckpt, scorer_model=_Model("GBT_a"))
+    p_m2 = ERPipeline(spark, cfg, checkpoint_dir=ckpt, scorer_model=_Model("GBT_b"))
+    for p in (p_rule, p_m1, p_m2):
+        p._input_fp = "same"
+    paths = {p._stage_path("s3_pairs_scored") for p in (p_rule, p_m1, p_m2)}
+    assert len(paths) == 3
+
+
+def test_input_fingerprint_duplicates_do_not_cancel(spark):
+    """bit_xor alone cancels rows occurring an even number of times:
+    {x,x,y,y} vs {z,z,y,y} must fingerprint differently (round-2
+    ADVICE); the complementary modular sum breaks the tie."""
+    a = spark.createDataFrame([("x",), ("x",), ("y",), ("y",)], "v string")
+    b = spark.createDataFrame([("z",), ("z",), ("y",), ("y",)], "v string")
+    assert ERPipeline._input_fingerprint(a) != ERPipeline._input_fingerprint(b)
