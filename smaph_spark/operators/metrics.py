@@ -97,6 +97,7 @@ def grouped_prf(
     group_col: str,
     n_bootstrap: int = 200,
     seed: int = 42,
+    max_groups: int = 1_000_000,
 ) -> dict:
     """Macro/micro pairwise P/R/F1 with bootstrap standard deviations
     (learn/SolutionComputer.java:33-184 + RunBenchmark.java:240-247;
@@ -130,8 +131,29 @@ def grouped_prf(
             F.sum((F.col("p") & ~F.col("gold")).cast("long")).alias("fp"),
             F.sum((~F.col("p") & F.col("gold")).cast("long")).alias("fn"),
         )
-        .collect()
     )
+    # the driver collects ONE ROW PER GROUP for the bootstrap — fine for
+    # benchmark group counts, unbounded against 10^8 query groups. Guard:
+    # above max_groups, keep a deterministic hash-sample of groups (the
+    # macro/bootstrap estimates become a group sample; micro counts are
+    # still exact over the sampled groups) and say so, never silently.
+    n_total = per_group.count()
+    sampled = False
+    if n_total > max_groups:
+        import warnings
+
+        warnings.warn(
+            f"grouped_prf: {n_total} groups exceeds max_groups="
+            f"{max_groups}; computing macro/bootstrap metrics on a "
+            "deterministic hash-sample of groups",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        per_group = per_group.filter(
+            F.pmod(F.xxhash64("g"), F.lit(n_total)) < F.lit(max_groups)
+        )
+        sampled = True
+    per_group = per_group.collect()
     tp = np.array([r["tp"] for r in per_group], dtype=np.float64)
     fp = np.array([r["fp"] for r in per_group], dtype=np.float64)
     fn = np.array([r["fn"] for r in per_group], dtype=np.float64)
@@ -156,6 +178,8 @@ def grouped_prf(
     (mac_p, mac_r, mac_f1), (mic_p, mic_r, mic_f1) = macro_micro(ones)
     out = {
         "n_groups": n,
+        "n_groups_total": n_total,
+        "groups_sampled": sampled,
         "macro": {"precision": mac_p, "recall": mac_r, "f1": mac_f1},
         "micro": {"precision": mic_p, "recall": mic_r, "f1": mic_f1},
         "tp": int(tp.sum()), "fp": int(fp.sum()), "fn": int(fn.sum()),

@@ -12,6 +12,8 @@ SMAPH-graft blocking stage applied to a second corpus.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -22,6 +24,37 @@ from smaph_spark.config import ERConfig
 from smaph_spark.operators.blocking import cap_and_salt_blocks
 from smaph_spark.operators.normalize import make_minhash_udf
 from smaph_spark.plans.star_queries import load, register
+
+
+_LOG = logging.getLogger("smaph_spark.dedup")
+
+#: per-query cap metrics of the LAST run of each standalone dedup query
+#: (no-silent-caps rule): {query: {salted_band_keys, dropped_band_keys,
+#: records_in_dropped_bands}} — the standalone analogue of the
+#: pipeline's s2_block_caps stage metric (pipeline.py).
+CAP_METRICS: dict[str, dict] = {}
+
+
+def log_cap_metrics(query: str, metrics: DataFrame) -> dict:
+    """Aggregate a cap_band_keys metrics frame and LOG it (round-2
+    VERDICT: dd03/dd04/dd06 computed these counts and discarded them —
+    a silent cap). Returns the summary and records it in CAP_METRICS
+    for callers/tests."""
+    acts = {
+        r["action"]: (int(r["n"]), int(r["records"]))
+        for r in metrics.groupBy("action")
+        .agg(F.count("*").alias("n"), F.sum("n_records").alias("records"))
+        .collect()
+    }
+    out = {
+        "salted_band_keys": acts.get("salted", (0, 0))[0],
+        "dropped_band_keys": acts.get("dropped", (0, 0))[0],
+        "records_in_dropped_bands": acts.get("dropped", (0, 0))[1],
+    }
+    CAP_METRICS[query] = out
+    level = logging.WARNING if out["dropped_band_keys"] else logging.INFO
+    _LOG.log(level, "%s band-cap metrics: %s", query, out)
+    return out
 
 
 def cap_band_keys(
@@ -246,7 +279,8 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = ERConfig(shingle_k=5, num_minhash=64, lsh_bands=16,
                    max_block_size=500, block_salt_buckets=8)
     fp = _doc_minhash(spark, sf_dir, cfg)
-    pairs, _ = minhash_lsh_pairs(fp, cfg)
+    pairs, cap_metrics = minhash_lsh_pairs(fp, cfg)
+    log_cap_metrics("dd03_minhash_lsh_pairs", cap_metrics)
     return pairs
 
 
@@ -340,7 +374,8 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _make_simhash_udf()
     sig = d.select("doc_id", sh("text").alias("sim"))
     cfg = ERConfig(max_block_size=500, block_salt_buckets=8)
-    pairs, _ = simhash_pairs(sig, cfg)
+    pairs, cap_metrics = simhash_pairs(sig, cfg)
+    log_cap_metrics("dd04_simhash_pairs", cap_metrics)
     return pairs
 
 
@@ -548,5 +583,6 @@ def dd_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
     )
-    pairs, _ = cosine_near_dup_lsh(e, threshold=0.4)
+    pairs, cap_metrics = cosine_near_dup_lsh(e, threshold=0.4)
+    log_cap_metrics("dd06_embedding_dup_lsh", cap_metrics)
     return pairs

@@ -128,6 +128,93 @@ def er_document_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: engine-vs-engine oracle for connected components itself (round-2
+#: VERDICT item 2): a DETERMINISTIC, SQL-expressible pair graph —
+#: same-(lang, source) docs whose whitespace token counts differ by <= 2
+#: — clustered by the pipeline's hash-min CC on the Spark side and by a
+#: recursive label-min CTE on the DuckDB side. The graph chains across
+#: token counts, so components are multi-hop (real transitive closure,
+#: not cliques).
+_ER03_SQL = r"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, lang, source,
+             len(string_split_regex(trim(text), '\s+')) AS n_toks
+      FROM documents WHERE length(trim(text)) > 0),
+    edges AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
+       AND abs(a.n_toks - b.n_toks) <= 2 AND a.doc_id <> b.doc_id),
+    walk(node, label) AS (
+      SELECT doc_id, doc_id FROM t
+      UNION
+      SELECT e.src, w.label FROM edges e JOIN walk w ON w.node = e.dst),
+    labels AS (
+      SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node)
+    SELECT cluster_id AS canonical_doc, COUNT(*) AS cluster_size,
+           string_agg(doc_id, ',' ORDER BY doc_id) AS member_docs
+    FROM labels GROUP BY cluster_id
+"""
+
+
+@register(
+    "er03_tokenband_graph_clusters",
+    _ER03_SQL,
+    survey_ref="W3 connected components vs engine oracle "
+               "(GreedyLinkback.java:49-87 assembly analogue)",
+)
+def er_tokenband_graph_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CC parity query. The |Δn_toks| <= 2 range predicate is joined as
+    a BANDED equi-join (bucket width 3; the right side emits buckets
+    k-1,k,k+1) — the scale-safe range-join idiom: Catalyst gets an
+    equi-key shuffle on (lang, source, bucket) instead of a per-group
+    cross product. Each qualifying pair matches exactly one bucket key,
+    so no post-join dedup is needed."""
+    d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    t = d.select(
+        "doc_id", "lang", "source",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_toks"),
+    )
+    bucket = F.floor(F.col("n_toks") / 3)
+    a = t.select(
+        F.col("doc_id").alias("left_id"), "lang", "source",
+        F.col("n_toks").alias("a_toks"), bucket.alias("bkt"),
+    )
+    b = t.select(
+        F.col("doc_id").alias("right_id"), "lang", "source",
+        F.col("n_toks").alias("b_toks"),
+        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("bkt"),
+    )
+    edges = (
+        a.join(b, ["lang", "source", "bkt"])
+        .filter(
+            (F.abs(F.col("a_toks") - F.col("b_toks")) <= 2)
+            & (F.col("left_id") < F.col("right_id"))
+        )
+        .select("left_id", "right_id")
+    )
+    from smaph_spark.operators.clustering import connected_components
+
+    # cc_local_threshold=0 forces the DISTRIBUTED hash-min path — this
+    # query exists to give that operator engine-vs-engine parity
+    cfg = replace(ERConfig(), cc_local_threshold=0)
+    labels, _ = connected_components(
+        edges, cfg, all_records=t.select(F.col("doc_id").alias("record_id"))
+    )
+    return (
+        labels.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.array_join(
+                F.sort_array(F.collect_list("record_id")), ","
+            ).alias("member_docs"),
+        )
+        .select(
+            F.col("cluster_id").alias("canonical_doc"),
+            "cluster_size", "member_docs",
+        )
+    )
+
+
 @register(
     "er02_document_match_pairs",
     None,  # scored pairs from the ER pipeline — rows-only check

@@ -172,3 +172,26 @@ def test_dd06_lsh_recall_vs_exact(spark):
     assert exact, "fixture should contain near-dup pairs"
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.5, f"LSH near-dup recall {recall:.2f}"
+
+
+def test_standalone_dedup_queries_log_cap_metrics(spark, tmp_path):
+    """The registered dd03/dd04/dd06 queries must SURFACE their band-cap
+    counts (round-2 VERDICT item 5: the counts were computed and
+    discarded). Planted hot key: every doc shares one band."""
+    import smaph_spark.ops.dedup as dd
+
+    n = 40
+    rows = [(i, [i, i, i, i], [7777, 1000 + i]) for i in range(n)]
+    fp = spark.createDataFrame(
+        rows, "doc_id long, minhash array<int>, bands array<long>"
+    )
+    cfg = ERConfig(max_block_size=10, block_salt_buckets=4, lsh_bands=2,
+                   num_minhash=4)
+    pairs, metrics = minhash_lsh_pairs(fp, cfg)
+    out = dd.log_cap_metrics("test_hot_band", metrics)
+    assert out["salted_band_keys"] + out["dropped_band_keys"] > 0
+    assert dd.CAP_METRICS["test_hot_band"] == out
+    # and the registered driver queries populate CAP_METRICS end-to-end
+    dd.CAP_METRICS.clear()
+    QUERIES["dd03_minhash_lsh_pairs"].fn(spark, "/root/testdata/sf0.001").count()
+    assert "dd03_minhash_lsh_pairs" in dd.CAP_METRICS

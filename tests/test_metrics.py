@@ -63,3 +63,30 @@ def test_perfect_prediction_zero_std(spark):
     m = grouped_prf(pred, gold, "g", n_bootstrap=50)
     assert m["macro"]["f1"] == 1.0 and m["micro"]["f1"] == 1.0
     assert m["bootstrap_std"]["macro"]["f1"] == 0.0
+
+
+def test_grouped_prf_caps_driver_collect(spark):
+    """Above max_groups the driver-side bootstrap runs on a
+    deterministic hash-sample of groups, with a warning — never an
+    unbounded collect (round-2 VERDICT item 9)."""
+    from pyspark.sql import functions as F
+
+    gold = (
+        spark.range(500)
+        .select(
+            F.concat(F.lit("g"), F.col("id")).alias("g"),
+            F.lit(1).cast("long").alias("left_id"),
+            F.lit(2).cast("long").alias("right_id"),
+            F.lit(True).alias("is_match"),
+        )
+    )
+    pred = gold.drop("is_match")
+    with pytest.warns(RuntimeWarning, match="max_groups"):
+        m = grouped_prf(pred, gold, "g", n_bootstrap=10, max_groups=100)
+    assert m["groups_sampled"] is True
+    assert m["n_groups_total"] == 500
+    assert m["n_groups"] < 500  # bounded collect
+    assert m["macro"]["f1"] == 1.0  # sample of perfect groups is perfect
+    # under the cap: full collect, no sampling
+    m2 = grouped_prf(pred, gold, "g", n_bootstrap=10, max_groups=1000)
+    assert m2["groups_sampled"] is False and m2["n_groups"] == 500
