@@ -195,3 +195,106 @@ def test_standalone_dedup_queries_log_cap_metrics(spark, tmp_path):
     dd.CAP_METRICS.clear()
     QUERIES["dd03_minhash_lsh_pairs"].fn(spark, "/root/testdata/sf0.001").count()
     assert "dd03_minhash_lsh_pairs" in dd.CAP_METRICS
+
+
+# ---------------------------------------------------------------------------
+# round-2 VERDICT item 3: the estimator VALUES of dd03/dd04, not just
+# their shapes, checked against independent brute-force implementations
+# ---------------------------------------------------------------------------
+
+def _near_dup_corpus(seed=11, n_base=25, doc_len=60):
+    """Seeded corpus of base docs + mutants at two mutation rates —
+    exact char-shingle Jaccards span ~0.5-0.95."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    rows = []
+    did = 0
+    for _ in range(n_base):
+        toks = list(rng.choice(vocab, size=doc_len))
+        rows.append((did, " ".join(toks))); did += 1
+        for rate in (0.05, 0.15):
+            m = list(toks)
+            for j in range(len(m)):
+                if rng.random() < rate:
+                    m[j] = str(rng.choice(vocab))
+            rows.append((did, " ".join(m))); did += 1
+    return rows
+
+
+def _exact_shingle_jaccard(a: str, b: str, k: int = 5) -> float:
+    import re
+
+    def sh(t):
+        t = re.sub(r"\s+", " ", t).lower()
+        return {t[i:i + k] for i in range(len(t) - k + 1)} if len(t) >= k else {t}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_dd03_jaccard_estimate_within_binomial_bound(spark, tmp_path):
+    """dd03's jaccard_est is the positional MinHash agreement over w=64
+    slots — an unbiased binomial estimator of the true shingle Jaccard
+    with std sqrt(J(1-J)/w). Every emitted pair must sit within 3 sigma
+    (+1 slot of slack) of the exact brute-force Jaccard."""
+    from smaph_spark.ops.dedup import _doc_minhash, minhash_lsh_pairs
+
+    rows = _near_dup_corpus()
+    texts = dict(rows)
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    cfg = ERConfig(shingle_k=5, num_minhash=64, lsh_bands=16,
+                   max_block_size=500, block_salt_buckets=8)
+    fp = _doc_minhash(spark, str(tmp_path), cfg)
+    pairs, _ = minhash_lsh_pairs(fp, cfg)
+    got = pairs.collect()
+    assert len(got) >= 15, f"expected a rich pair set, got {len(got)}"
+    w = cfg.num_minhash
+    for r in got:
+        j = _exact_shingle_jaccard(texts[r["a_doc"]], texts[r["b_doc"]])
+        bound = 3.0 * (j * (1 - j) / w) ** 0.5 + 1.0 / w
+        assert abs(r["jaccard_est"] - j) <= bound, (
+            f"pair ({r['a_doc']},{r['b_doc']}): est {r['jaccard_est']} "
+            f"vs exact {j:.4f}, bound {bound:.4f}"
+        )
+
+
+def test_dd04_hamming_values_and_banded_recall(spark):
+    """dd04's emitted hamming must equal an independent numpy popcount
+    of the XOR, every pair with hamming <= 3 must be found (pigeonhole:
+    <=3 differing bits across 4 chunks leaves one chunk identical), and
+    banded recall at max_hamming=6 is measured against brute force."""
+    import numpy as np
+
+    from smaph_spark.ops.dedup import _make_simhash_udf, simhash_pairs
+
+    rows = _near_dup_corpus(seed=23)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = _make_simhash_udf()
+    sig = df.select("doc_id", sh("text").alias("sim"))
+    sig_rows = {r["doc_id"]: r["sim"] for r in sig.collect()}
+    ids = sorted(sig_rows)
+    vals = np.array([sig_rows[i] for i in ids], dtype=np.int64).view(np.uint64)
+    exact = {}
+    for i in range(len(ids)):
+        x = vals[i] ^ vals[i + 1:]
+        for off, ham in enumerate(int(v).bit_count() for v in x):
+            exact[(ids[i], ids[i + 1 + off])] = ham
+    cfg = ERConfig(max_block_size=500, block_salt_buckets=8)
+    pairs, _ = simhash_pairs(sig, cfg, max_hamming=6)
+    got = {(r["a_doc"], r["b_doc"]): r["hamming"] for r in pairs.collect()}
+    assert got, "expected near-dup pairs from the mutant corpus"
+    # values: every emitted hamming equals the independent popcount
+    for k, h in got.items():
+        assert exact[k] == h, f"{k}: banded {h} vs exact {exact[k]}"
+    # guaranteed recall: hamming <= chunks-1 always shares a clean chunk
+    guaranteed = {k for k, h in exact.items() if h <= 3}
+    assert guaranteed <= set(got), "pigeonhole-guaranteed pairs missed"
+    # measured recall at the advertised max_hamming=6 (not guaranteed
+    # past 3 bits; report + floor so regressions surface)
+    target = {k for k, h in exact.items() if h <= 6}
+    recall = len(target & set(got)) / len(target) if target else 1.0
+    assert recall >= 0.8, f"banded hamming recall {recall:.2f}"

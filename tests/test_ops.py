@@ -13,17 +13,27 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_lsh_ann_recall_vs_bruteforce(spark):
-    """The LSH-bucketed ANN must recover most of the exact top-5."""
+    """Multi-probe LSH ANN must recover >=0.9 of the exact top-5 (round-2
+    VERDICT item 4: the old single-probe floor of 0.5 was too weak a
+    guarantee) and must LOG its candidate-scan fraction — the
+    recall/scan trade is surfaced, never silent. Measured on this
+    corpus: single-probe 0.62, 1-bit multi-probe 1.0."""
+    import smaph_spark.ops.similarity as sim
+
     exact = {
         (r["q_vec"], r["n_vec"])
         for r in QUERIES["sim01_bruteforce_topk"].fn(spark, SF).collect()
     }
+    sim.SCAN_METRICS.clear()
     approx = {
         (r["q_vec"], r["n_vec"])
         for r in QUERIES["sim02_lsh_topk"].fn(spark, SF).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.5, f"LSH ANN recall {recall:.2f}"
+    assert recall >= 0.9, f"LSH ANN recall {recall:.2f}"
+    scan = sim.SCAN_METRICS["sim02_lsh_topk"]
+    assert 0 < scan["scan_fraction"] <= 1.0
+    assert scan["candidates"] > 0
 
 
 def test_simhash_identical_and_different(spark):
