@@ -27,15 +27,64 @@ FEATURE_SCHEMA = (
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Real decode would use PIL/cv2 — not available in this container.
+    """Decode an image payload to an (h, w, 3) uint8 RGB array.
 
-    STUB: deterministic fake 'decode' for plumbing tests; a deployment
-    swaps this single function for a real decoder.
+    REAL decoder for uncompressed 24-bit BI_RGB BMP (pure numpy — the
+    format is a fixed header + raw bottom-up BGR rows, no codec
+    needed). Compressed formats (JPEG/PNG/…) still raise
+    NotImplementedError: their codecs (PIL/cv2) are not in this
+    container — that branch is the single swap point for a deployment.
     """
-    raise NotImplementedError(
-        "image decoding requires PIL/cv2 (not installed); "
-        "use fake_decode_meta for plumbing tests"
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise NotImplementedError(
+            "only uncompressed 24-bit BMP is decodable without PIL/cv2; "
+            "compressed formats take the stub path"
+        )
+    data_offset = int.from_bytes(payload[10:14], "little")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0 or width <= 0 or height == 0:
+        raise NotImplementedError(
+            f"unsupported BMP variant (bpp={bpp}, compression={compression})"
+        )
+    bottom_up = height > 0
+    h = abs(height)
+    row_size = (width * 3 + 3) // 4 * 4  # rows pad to 4-byte boundaries
+    arr = np.frombuffer(
+        payload, dtype=np.uint8, offset=data_offset, count=row_size * h
     )
+    rows = arr.reshape(h, row_size)[:, : width * 3].reshape(h, width, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[..., ::-1].copy()  # stored BGR -> RGB
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed 24-bit
+    BMP — the sink twin of :func:`decode_image` (and the test-payload
+    generator: synthetic images round-trip without any codec library)."""
+    h, w, _ = img.shape
+    row_size = (w * 3 + 3) // 4 * 4
+    data_size = row_size * h
+    header = (
+        b"BM"
+        + (54 + data_size).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")          # pixel data offset
+        + (40).to_bytes(4, "little")          # BITMAPINFOHEADER size
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")             # positive => bottom-up
+        + (1).to_bytes(2, "little")           # planes
+        + (24).to_bytes(2, "little")          # bpp
+        + (0).to_bytes(4, "little")           # BI_RGB (uncompressed)
+        + data_size.to_bytes(4, "little")
+        + b"\x00" * 16                        # resolution + palette fields
+    )
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # RGB->BGR, flip
+    return header + rows.tobytes()
 
 
 def fake_decode_meta(payload: bytes) -> tuple[int, int, float]:
@@ -48,17 +97,32 @@ def fake_decode_meta(payload: bytes) -> tuple[int, int, float]:
     return width, height, feat_mean
 
 
+def _decode_meta(payload: bytes) -> tuple[int, int, float, str]:
+    """(width, height, feat_mean, decoder): the REAL numpy BMP path for
+    decodable payloads, the deterministic sha-stub for everything else
+    (the honest fallback while no codec library is installed)."""
+    try:
+        img = decode_image(payload)
+        h, w = img.shape[:2]
+        return w, h, round(float(img.mean()) / 255.0, 6), "bmp-numpy"
+    except NotImplementedError:
+        w, h, feat = fake_decode_meta(payload)
+        return w, h, feat, "stub-sha256"
+
+
 def extract_features(binary_df: DataFrame) -> DataFrame:
     """binary_df(doc_id long, payload binary) -> FEATURE_SCHEMA rows.
 
-    mapInPandas: one Arrow batch in, one out — the real-decoder swap
-    point. Batches stay columnar; no per-row Python outside the batch
-    loop body.
+    mapInPandas: one Arrow batch in, one out. BMP payloads take the
+    real pure-numpy decode (feat_mean is the actual mean pixel
+    intensity); other formats take the declared stub — the `decoder`
+    column records which path produced each row. Batches stay columnar;
+    no per-row Python outside the batch loop body.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [fake_decode_meta(p) for p in pdf["payload"]]
+            metas = [_decode_meta(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
@@ -66,7 +130,7 @@ def extract_features(binary_df: DataFrame) -> DataFrame:
                     "fake_width": [m[0] for m in metas],
                     "fake_height": [m[1] for m in metas],
                     "feat_mean": [m[2] for m in metas],
-                    "decoder": "stub-sha256",
+                    "decoder": [m[3] for m in metas],
                 }
             )
 
@@ -125,14 +189,15 @@ def resize_images(
 ) -> DataFrame:
     """binary(doc_id, payload) -> per-image resize metadata.
 
-    Real implementation resamples pixels (PIL.Image.resize); the stub
-    computes the scale factors from the fake-decoded dimensions, which
-    is exactly the metadata a downstream batch-training pipeline
-    partitions on. Single swap point: replace fake_decode_meta."""
+    Scale factors come from the REAL decoded dimensions for BMP
+    payloads (pure-numpy decode) and from the fake-decoded dimensions
+    otherwise; the `resizer` column records which. A full pixel
+    resample for compressed formats is the remaining swap point
+    (PIL.Image.resize)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [fake_decode_meta(p) for p in pdf["payload"]]
+            metas = [_decode_meta(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
@@ -140,7 +205,10 @@ def resize_images(
                     "target_h": target_h,
                     "scale_x": [round(target_w / m[0], 6) for m in metas],
                     "scale_y": [round(target_h / m[1], 6) for m in metas],
-                    "resizer": "stub-meta",
+                    "resizer": [
+                        "bmp-meta" if m[3] == "bmp-numpy" else "stub-meta"
+                        for m in metas
+                    ],
                 }
             )
 

