@@ -27,6 +27,9 @@ def main() -> None:
     ap.add_argument("--scorer", default=None,
                     help="path of a persisted scorer dir (save_scorer); "
                          "its swept threshold is used unless --threshold")
+    ap.add_argument("--nif-output", default=None,
+                    help="also export clusters as NIF-style RDF turtle "
+                         "(SmaphUtils.exportToNif analogue)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -53,6 +56,10 @@ def main() -> None:
                       scorer_model=scorer_model)
     res = pipe.run(files)
     res.clusters.write.mode("overwrite").parquet(args.output)
+    if args.nif_output:
+        from smaph_spark.sources.sinks import export_clusters_nif
+
+        export_clusters_nif(res.clusters, args.nif_output)
     violations = ERPipeline.verify_content_sha(files, res.normalized)
     print(json.dumps({
         "clusters_written": args.output,

@@ -152,8 +152,16 @@ def attach_pair_features(
         F.slice("minhash", 1, width),
         lambda x: x.bitwiseAND(F.lit(0x7FFFFFFF)).cast("int"),
     ).alias("minhash")
+    # sha_eq only needs EQUALITY, not the digest: carry an int64 hash of
+    # the sha instead of the 64-char string (2^-64 collision odds per
+    # pair) — 8 bytes/side instead of ~72, and payload bytes/pair ARE
+    # the pair-stage shuffle + Arrow traffic that caps multi-core
+    # scaling (BENCH.md: per-task CPU inflates 2-3x at 16 threads on a
+    # shared DRAM bus). The full content_sha stays on `normalized` for
+    # the per-row invariant check.
     payload = normalized.select(
-        "record_id", "path", "name", "lang", "content_sha",
+        "record_id", "path", "name", "lang",
+        F.xxhash64("content_sha").alias("sha_pfx"),
         "n_chars", "n_tokens", sig,
     )
     if cfg.broadcast_payload:
@@ -206,7 +214,7 @@ def attach_pair_features(
             "same_lang", (F.col("l_lang") == F.col("r_lang")).cast("double")
         )
         .withColumn(
-            "sha_eq", (F.col("l_content_sha") == F.col("r_content_sha")).cast("double")
+            "sha_eq", (F.col("l_sha_pfx") == F.col("r_sha_pfx")).cast("double")
         )
     )
     return df.select("left_id", "right_id", "block_key", *FEATURE_COLS)

@@ -81,3 +81,37 @@ def test_files_table_loader_parquet_fallback(spark, tmp_path):
     if not iceberg_available(spark):
         with _pytest.raises(RuntimeError, match="Iceberg"):
             load_files_table(spark, "iceberg:cat.db.files")
+
+
+def test_nif_cluster_export(spark, tmp_path):
+    """NIF-style turtle export (SmaphUtils.exportToNif:781-801 analogue):
+    one valid absolute-IRI turtle statement per record, cluster
+    assignment as itsrdf:taIdentRef, part-files self-contained."""
+    import glob
+    import re
+
+    from smaph_spark.sources.sinks import export_clusters_nif
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (-3, -3)], "record_id long, cluster_id long"
+    )
+    out = str(tmp_path / "nif")
+    export_clusters_nif(clusters, out, base_uri="http://ex.org/s")
+    lines = []
+    for f in glob.glob(f"{out}/part-*"):
+        with open(f) as fh:
+            lines += [l.strip() for l in fh if l.strip()]
+    assert len(lines) == 3
+    pat = re.compile(
+        r"^<http://ex\.org/s/record/(-?\d+)> a "
+        r"<http://persistence\.uni-leipzig\.org/nlp2rdf/ontologies/"
+        r"nif-core#Context> ; "
+        r"<http://www\.w3\.org/2005/11/its/rdf#taIdentRef> "
+        r"<http://ex\.org/s/entity/(-?\d+)> \.$"
+    )
+    got = {}
+    for l in lines:
+        m = pat.match(l)
+        assert m, f"not a valid triple line: {l}"
+        got[int(m.group(1))] = int(m.group(2))
+    assert got == {1: 1, 2: 1, -3: -3}
