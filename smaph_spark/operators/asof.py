@@ -1,0 +1,93 @@
+"""As-of join: match each left row to the most recent right row at or
+before its timestamp, per key.
+
+Spark has no ASOF JOIN operator (DuckDB/kdb do); the reference has no
+streaming/temporal ops either — this is one of the beyond-the-reference
+training-data-pipeline operators (feature backfill: "the latest profile
+/ model / price as of this example's event time").
+
+Implementation is the scale-idiomatic UNION + WINDOW recast, not a
+range join: tag both sides, shuffle ONCE on the join key, sort each
+partition by (t, side) and propagate the last seen right-side payload
+with ``last(ignorenulls)`` over an unbounded-preceding window. Cost =
+one shuffle of |L|+|R| rows + a partition-local sort — contrast a naive
+``L JOIN R ON key AND r.t <= l.t`` theta join (per-key cross product,
+quadratic in hot keys) or per-key ``collect_list`` (unbounded row
+state). Skewed keys behave like any single-shuffle window query (AQE);
+the window itself is streaming (no frame re-scan per row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str] | None = None,
+    strict: bool = False,
+    how: str = "inner",
+) -> DataFrame:
+    """For every ``left`` row: the ``right`` row's payload with the
+    greatest ``right_time`` <= ``left_time`` (< if ``strict``) and the
+    same ``on`` key.
+
+    Returns all left columns + ``asof_time`` + the requested right
+    payload columns. ``how='inner'`` drops left rows with no prior
+    right row; ``'left'`` keeps them with nulls. Among right rows tied
+    on (key, time), payload columns follow the sort's last tied row —
+    callers needing a deterministic tie-break should pre-aggregate the
+    right side to one row per (key, time) (the oracle-paired q22 query
+    projects only asof_time, which is always deterministic).
+    """
+    payload_cols = payload_cols or []
+    # side marker orders same-timestamp rows: inclusive (>=) wants the
+    # right row BEFORE the left row at equal t; strict (>) the reverse
+    r_mark, l_mark = (0, 1) if not strict else (1, 0)
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(r_mark).alias("_side"),
+        F.col(right_time).alias("_r_time"),
+        *[F.col(c).alias(f"_r_{c}") for c in payload_cols],
+    )
+    l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(l_mark).alias("_side"),
+        F.lit(None).cast(r.schema["_r_time"].dataType).alias("_r_time"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+            for c in payload_cols
+        ],
+        *[F.col(c) for c in left.columns],
+    )
+    # align schemas for the union (left carries its own columns; the
+    # right side carries nulls for them)
+    for c in left.columns:
+        if c not in [f.name for f in r.schema.fields]:
+            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    r = r.select(*[f.name for f in l.schema.fields])
+    unioned = l.unionByName(r)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = unioned.select(
+        *left.columns,
+        F.col("_side").alias("_is_left"),
+        F.last("_r_time", ignorenulls=True).over(w).alias("asof_time"),
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(c)
+            for c in payload_cols
+        ],
+    ).filter(F.col("_is_left") == l_mark).drop("_is_left")
+    if how == "inner":
+        out = out.filter(F.col("asof_time").isNotNull())
+    return out

@@ -1,0 +1,67 @@
+"""Deterministic dataset splitting — train/val/test assignment a
+training-data pipeline can reproduce on any engine and any cluster
+size.
+
+The split is a pure function of the record id (md5-prefix bucket), not
+of `rand()` or partition layout: re-running at 1000x scale, after a
+repartition, or in DuckDB yields the SAME assignment (the property
+`randomSplit` does NOT have — its sampling depends on partition
+layout). One narrow projection, no shuffle, no state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from smaph_spark.plans.star_queries import load, register
+
+
+def hash_bucket(col, n_buckets: int = 10):
+    """Engine-portable deterministic bucket in [0, n_buckets): first 8
+    hex chars of md5 of the id's string form, as an integer. md5 (not
+    xxhash64) because every engine computes the identical digest — the
+    point is cross-engine reproducibility of the SPLIT, not hash speed;
+    one md5 per row is noise next to any real feature work."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+        .cast("long") % n_buckets
+    )
+
+
+def deterministic_split(
+    df: DataFrame, id_col: str, train: int = 8, val: int = 1, test: int = 1
+) -> DataFrame:
+    """Add `bucket` + `split` columns: buckets [0,train) -> 'train',
+    [train, train+val) -> 'val', rest -> 'test' out of train+val+test
+    equal-weight buckets."""
+    n = train + val + test
+    b = hash_bucket(F.col(id_col), n)
+    return df.withColumn("bucket", b).withColumn(
+        "split",
+        F.when(F.col("bucket") < train, F.lit("train"))
+        .when(F.col("bucket") < train + val, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+@register(
+    "ds01_train_val_test_split",
+    """
+    SELECT doc_id, b AS bucket,
+           CASE WHEN b < 8 THEN 'train'
+                WHEN b < 9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 10 AS b
+          FROM documents)
+    """,
+    survey_ref="deterministic hash split (beyond-reference training-data "
+               "op; engine-portable md5 buckets, no rand())",
+)
+def ds_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return deterministic_split(d.select("doc_id"), "doc_id").select(
+        "doc_id", "bucket", "split"
+    )

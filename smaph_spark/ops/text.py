@@ -406,3 +406,45 @@ def tx_bold_fragmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(aggregation_udf("bolds", "bold"), 4).alias("aggregation"),
         )
     )
+
+
+@register(
+    "tx09_top_terms_per_lang",
+    r"""
+    WITH toks AS (
+      SELECT lang,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents WHERE length(trim(text)) > 0),
+    counts AS (
+      SELECT lang, tok, COUNT(*) AS n
+      FROM toks WHERE length(tok) > 0 GROUP BY lang, tok)
+    SELECT lang, tok, n, rnk FROM (
+      SELECT lang, tok, n,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n DESC, tok) AS rnk
+      FROM counts)
+    WHERE rnk <= 10
+    """,
+    survey_ref="token histogram top-k (beyond-reference training-data op; "
+               "explode -> partial-agg count -> per-group top-k window)",
+)
+def tx_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary skim: top-10 tokens per language. The plan a
+    100 TB wordcount wants: explode stays narrow, the count groupBy
+    does map-side partial aggregation (hash agg on (lang, tok)), and
+    the top-k is one window over the already-tiny count table — never
+    a global sort of the token stream."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = d.select(
+        "lang",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    counts = toks.groupBy("lang", "tok").agg(F.count("*").alias("n"))
+    w = W.partitionBy("lang").orderBy(F.desc("n"), F.asc("tok"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("lang", "tok", "n", "rnk")
+    )

@@ -702,3 +702,43 @@ def q20(spark, sf_dir):
         .groupBy("lang", "bucket")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (q22): most recent order at-or-before each event, per user
+# — the temporal feature-backfill operator (operators/asof.py); oracle
+# uses DuckDB's native ASOF JOIN. Output projects the as-of TIME (always
+# deterministic) rather than a tied order row's payload.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q22_event_asof_order",
+    """
+    SELECT e.event_id, e.user_id,
+           strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS asof_orderdate
+    FROM events e ASOF JOIN orders o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    survey_ref="as-of join (beyond-reference temporal op; union+window "
+               "single-shuffle recast, operators/asof.py)",
+)
+def q22(spark, sf_dir):
+    from smaph_spark.operators.asof import asof_join
+
+    e = load(spark, sf_dir, "events")
+    o = load(spark, sf_dir, "orders")
+    joined = asof_join(
+        e.select("event_id", "user_id", "ts"),
+        o.withColumnRenamed("o_custkey", "user_id").select(
+            "user_id", "o_orderdate"
+        ),
+        on="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+    )
+    return joined.select(
+        "event_id", "user_id",
+        F.date_format("asof_time", "yyyy-MM-dd HH:mm:ss").alias(
+            "asof_orderdate"
+        ),
+    )

@@ -1,0 +1,75 @@
+"""As-of join semantics + deterministic split properties (the round-3
+beyond-reference training-data operators)."""
+
+from pyspark.sql import functions as F
+
+from smaph_spark.operators.asof import asof_join
+from smaph_spark.ops.sampling import deterministic_split
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, "k", 10), (2, "k", 20), (3, "k", 5), (4, "x", 50)],
+        "event_id long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [("k", 10, 1.0), ("k", 15, 2.0), ("y", 1, 9.0)],
+        "k string, rt long, price double",
+    )
+    return left, right
+
+
+def test_asof_inclusive_inner(spark):
+    left, right = _frames(spark)
+    out = {
+        r["event_id"]: (r["asof_time"], r["price"])
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="rt",
+            payload_cols=["price"],
+        ).collect()
+    }
+    # t=10 matches rt=10 inclusively; t=20 the later rt=15; t=5 has no
+    # prior row (dropped); k=x has no right rows at all (dropped)
+    assert out == {1: (10, 1.0), 2: (15, 2.0)}
+
+
+def test_asof_strict_and_left(spark):
+    left, right = _frames(spark)
+    out = {
+        r["event_id"]: r["asof_time"]
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="rt",
+            strict=True, how="left",
+        ).collect()
+    }
+    # strict: t=10 must NOT match rt=10; left: unmatched rows kept
+    assert out == {1: None, 2: 15, 3: None, 4: None}
+
+
+def test_asof_single_shuffle_plan(spark):
+    """The union+window recast shuffles ONCE on the key — no join node,
+    no per-key cross product (the scale contract of the operator)."""
+    left, right = _frames(spark)
+    plan = asof_join(
+        left, right, on="k", left_time="t", right_time="rt"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_deterministic_split_properties(spark):
+    d = spark.range(2000).select(F.col("id").alias("doc_id"))
+    s1 = deterministic_split(d, "doc_id")
+    fractions = {
+        r["split"]: r["n"]
+        for r in s1.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(fractions["train"] / 2000 - 0.8) < 0.05
+    assert abs(fractions["val"] / 2000 - 0.1) < 0.03
+    assert abs(fractions["test"] / 2000 - 0.1) < 0.03
+    # layout-independence: same assignment after an arbitrary repartition
+    # (the property rand()-based randomSplit does not have)
+    a = sorted((r["doc_id"], r["split"]) for r in s1.collect())
+    s2 = deterministic_split(d.repartition(13), "doc_id")
+    b = sorted((r["doc_id"], r["split"]) for r in s2.collect())
+    assert a == b
