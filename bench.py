@@ -35,10 +35,12 @@ HEADLINE = [
     "q13_sessionize_events",
     "q19_hourly_event_counts",
     "q20_doc_block_pairs",
+    "q22_event_asof_order",
     "dd02_ngram_jaccard_pairs",
     "dd05_embedding_dup_pairs",
     "sim01_bruteforce_topk",
     "tx01_token_stats",
+    "tx09_top_terms_per_lang",
     "er01_document_clusters",
 ]
 
