@@ -36,11 +36,15 @@ HEADLINE = [
     "q19_hourly_event_counts",
     "q20_doc_block_pairs",
     "q22_event_asof_order",
+    "q23_price_quantiles",
     "dd02_ngram_jaccard_pairs",
     "dd05_embedding_dup_pairs",
+    "dd07_incremental_new_docs",
     "sim01_bruteforce_topk",
+    "sk01_event_sketch_stats",
     "tx01_token_stats",
     "tx09_top_terms_per_lang",
+    "tx10_doc_freq_idf",
     "er01_document_clusters",
 ]
 

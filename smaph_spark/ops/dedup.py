@@ -593,3 +593,68 @@ def dd_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs, cap_metrics = cosine_near_dup_lsh(e, threshold=0.4, dim=64)
     log_cap_metrics("dd06_embedding_dup_lsh", cap_metrics)
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# dd07: incremental ingest dedup — the "what's NEW in this batch"
+# operator every continuously-ingesting 100 TB corpus needs. History is
+# a content-hash index (at scale: a bucketed table partitioned by hash
+# prefix, so the anti-join is co-located and touches only the digest
+# column, never historical text); the batch side dedups within itself
+# (min-id per digest) and anti-joins the index. Both shuffles key on
+# the uniformly-distributed digest — skew-free by construction.
+# Reference analogue: the candidate-cache freshness check in
+# WATRelatednessComputer (src/main/java/it/unipi/di/acube/smaph/
+# wikiapi/WATRelatednessComputer.java:62-101) recast set-at-a-time.
+# ---------------------------------------------------------------------------
+
+def incremental_new_texts(
+    history: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rows of `batch` whose content digest is absent from `history`,
+    deduped within the batch (keep the min id per digest). Returns
+    (doc_id, text_md5)."""
+    h = history.select(F.md5(text_col).alias("text_md5")).distinct()
+    b = batch.select(
+        F.col(id_col).alias("doc_id"), F.md5(text_col).alias("text_md5")
+    )
+    return (
+        b.join(h, "text_md5", "left_anti")
+        .groupBy("text_md5")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "text_md5")
+    )
+
+
+@register(
+    "dd07_incremental_new_docs",
+    """
+    WITH bucketed AS (
+      SELECT doc_id, text,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 10 AS b
+      FROM documents),
+    h AS (SELECT DISTINCT md5(text) AS m FROM bucketed WHERE b < 8),
+    batch AS (SELECT doc_id, md5(text) AS text_md5
+              FROM bucketed WHERE b >= 8)
+    SELECT MIN(doc_id) AS doc_id, text_md5
+    FROM batch WHERE NOT EXISTS (SELECT 1 FROM h WHERE h.m = batch.text_md5)
+    GROUP BY text_md5
+    """,
+    survey_ref="incremental ingest dedup (beyond-reference training-data "
+               "op; digest anti-join against a content-hash index)",
+)
+def dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver recast: the ds01 hash split plays history (80%) vs
+    incoming batch (20%) over the same documents table."""
+    from smaph_spark.ops.sampling import hash_bucket
+
+    d = load(spark, sf_dir, "documents").withColumn(
+        "b", hash_bucket(F.col("doc_id"), 10)
+    )
+    return incremental_new_texts(
+        d.filter(F.col("b") < 8), d.filter(F.col("b") >= 8)
+    )

@@ -65,3 +65,42 @@ def ds_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_split(d.select("doc_id"), "doc_id").select(
         "doc_id", "bucket", "split"
     )
+
+
+def stratified_sample(
+    df: DataFrame, id_col: str, strata_col: str, fractions: dict[str, float],
+    default: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the data-mixing operator
+    (domain/language reweighting) of a training-data pipeline. Same
+    md5-bucket recipe as the split: engine- and layout-independent, so
+    the SAME rows are kept at any scale and on any engine (unlike
+    DataFrame.sampleBy, whose Bernoulli draw depends on partition
+    layout). One narrow projection, no shuffle."""
+    frac = F.lit(default)
+    for k, v in fractions.items():
+        frac = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(frac)
+    return df.filter(hash_bucket(F.col(id_col), 100) < (frac * 100).cast("long"))
+
+
+@register(
+    "ds02_stratified_sample",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS b,
+             CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 ELSE 10 END
+               AS keep_below
+      FROM documents)
+    WHERE b < keep_below
+    """,
+    survey_ref="stratified deterministic sampling (beyond-reference "
+               "training-data op; domain-mixing weights, no rand())",
+)
+def ds_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return stratified_sample(
+        d.select("doc_id", "lang"), "doc_id", "lang",
+        {"en": 0.5, "de": 0.2}, default=0.1,
+    )

@@ -448,3 +448,50 @@ def tx_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .select("lang", "tok", "n", "rnk")
     )
+
+
+@register(
+    "tx10_doc_freq_idf",
+    r"""
+    WITH doc_toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents WHERE length(trim(text)) > 0),
+    df AS (
+      SELECT tok, COUNT(*) AS doc_freq
+      FROM doc_toks WHERE length(tok) > 0 GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents
+          WHERE length(trim(text)) > 0)
+    SELECT tok, doc_freq,
+           ROUND(ln((n_docs + 1.0) / (doc_freq + 1.0)) + 1.0, 6) AS idf
+    FROM df, n WHERE doc_freq >= 5
+    """,
+    survey_ref="document frequency / IDF (beyond-reference training-data "
+               "op; the TF-IDF vocabulary-build pass)",
+)
+def tx_doc_freq_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF vocabulary build: distinct (doc, token) -> doc_freq ->
+    smoothed idf. The 100 TB plan: the distinct and the count are ONE
+    hash-agg pipeline on (doc_id, tok) then (tok) — both map-side
+    partial-aggregated, never a token-stream sort; the corpus size N
+    joins in as a broadcast of a 1-row aggregate, not a driver
+    constant. Low-df tail (< 5 docs) is dropped AFTER the count — the
+    standard min_df vocabulary cut, which also bounds the result."""
+    d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    doc_toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0).distinct()
+    df_counts = doc_toks.groupBy("tok").agg(F.count("*").alias("doc_freq"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    return (
+        df_counts.filter(F.col("doc_freq") >= 5)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok", "doc_freq",
+            F.round(
+                F.log((F.col("n_docs") + 1.0) / (F.col("doc_freq") + 1.0))
+                + 1.0, 6
+            ).alias("idf"),
+        )
+    )

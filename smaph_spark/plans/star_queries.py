@@ -742,3 +742,42 @@ def q22(spark, sf_dir):
             "asof_orderdate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Discrete quantiles (q23): per-group exact order statistics. At 100 TB
+# the exact path is ONE hash-agg shuffle on the group key (Spark's
+# percentile_disc is a single-pass typed aggregate, no global sort);
+# the sketch path for group counts too large for exact is sk01
+# (approx_percentile / KLL-style). percentile_disc (not the
+# interpolating percentile) so both engines return actual data values —
+# no float-interpolation knife edges in the value hash.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q23_price_quantiles",
+    """
+    SELECT p_brand,
+           quantile_disc(p_retailprice, 0.25) AS p25,
+           quantile_disc(p_retailprice, 0.50) AS p50,
+           quantile_disc(p_retailprice, 0.90) AS p90,
+           COUNT(*) AS n_parts
+    FROM part GROUP BY p_brand
+    """,
+    survey_ref="A1-family order statistics (beyond-reference: exact "
+               "per-group quantiles as one hash-agg, sketch twin in sk01)",
+)
+def q23(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.expr(
+            "percentile_disc(0.25) WITHIN GROUP (ORDER BY p_retailprice)"
+        ).alias("p25"),
+        F.expr(
+            "percentile_disc(0.50) WITHIN GROUP (ORDER BY p_retailprice)"
+        ).alias("p50"),
+        F.expr(
+            "percentile_disc(0.90) WITHIN GROUP (ORDER BY p_retailprice)"
+        ).alias("p90"),
+        F.count("*").alias("n_parts"),
+    )

@@ -52,3 +52,34 @@ def export_clusters_nif(
     clusters_to_nif_triples(clusters, base_uri).write.mode(
         "overwrite"
     ).text(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    max_records_per_file: int = 1_000_000,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Hive-partitioned parquet sink with bounded file sizes — the
+    layout contract a 100 TB table needs for partition pruning AND
+    sane file counts.
+
+    - `repartition(partition_cols)` routes each output partition's rows
+      to the minimum number of tasks (without it, every task holding a
+      few rows of every partition writes num_tasks x num_partitions
+      tiny files — the classic small-files failure).
+    - `maxRecordsPerFile` re-splits oversized/hot partitions at write
+      time, bounding the other tail (one giant file per hot key).
+    - optional `sortWithinPartitions` clusters rows so parquet
+      min/max column stats become selective (data skipping on read).
+    """
+    out = df.repartition(*[F.col(c) for c in partition_cols])
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    (
+        out.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

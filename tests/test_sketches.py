@@ -1,0 +1,141 @@
+"""Sketch error bounds, incremental dedup semantics, stratified-sample
+determinism, and the partitioned sink's file-layout contract."""
+
+import glob
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from smaph_spark.ops.dedup import incremental_new_texts
+from smaph_spark.ops.sampling import stratified_sample
+from smaph_spark.ops.sketches import exact_event_stats, sketch_event_stats
+from smaph_spark.sources.sinks import write_partitioned_parquet
+
+SF_DIR = os.environ.get("SMAPH_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# sk01: the sketch values are rows-only at the driver gate; here they
+# are bound against the exact twins with the estimators' guarantees.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def event_stats(spark):
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    approx = {r["event_type"]: r for r in sketch_event_stats(events).collect()}
+    exact = {r["event_type"]: r for r in exact_event_stats(events).collect()}
+    assert set(approx) == set(exact) and approx
+    return events, approx, exact
+
+
+def test_hll_distinct_within_bound(event_stats):
+    # HLL++ rsd=0.02: allow 5 sigma plus integer slack for tiny counts
+    _, approx, exact = event_stats
+    for et, a in approx.items():
+        ex = exact[et]["exact_users"]
+        tol = max(5, 5 * 0.02 * ex)
+        assert abs(a["approx_users"] - ex) <= tol, (et, a, ex)
+
+
+def test_percentile_sketch_rank_error(event_stats):
+    """approx_percentile(accuracy=1e4) guarantees rank error <= n/1e4;
+    assert the returned value's true rank is within that of the target
+    rank (value-space bounds would be distribution-dependent)."""
+    events, approx, exact = event_stats
+    counts = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    for q, col in [(0.5, "approx_p50"), (0.95, "approx_p95")]:
+        for et, a in approx.items():
+            n = counts[et]
+            rank_of = events.filter(
+                (F.col("event_type") == et) & (F.col("value") <= a[col])
+            ).count()
+            max_err = math.ceil(n / 10_000) + 1
+            assert abs(rank_of - q * n) <= max_err + 1, (et, q, rank_of, n)
+
+
+# ---------------------------------------------------------------------------
+# dd07 semantics
+# ---------------------------------------------------------------------------
+
+def test_incremental_edge_cases(spark):
+    history = spark.createDataFrame(
+        [(1, "seen"), (2, "also seen")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, "seen"), (11, "fresh"), (12, "fresh"), (13, "newer")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text_md5"]
+        for r in incremental_new_texts(history, batch).collect()
+    }
+    # "seen" suppressed by history; "fresh" deduped within batch to min id
+    assert sorted(out) == [11, 13]
+
+    empty = batch.limit(0)
+    assert incremental_new_texts(history, empty).count() == 0
+    # empty history: batch dedups against itself only
+    assert incremental_new_texts(empty, batch).count() == 3
+
+
+def test_incremental_is_disjoint_from_history(spark):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    hist, batch = d.filter("doc_id % 2 = 0"), d.filter("doc_id % 2 = 1")
+    new = incremental_new_texts(hist, batch)
+    overlap = new.join(
+        hist.select(F.md5("text").alias("text_md5")).distinct(), "text_md5"
+    ).count()
+    assert overlap == 0
+
+
+# ---------------------------------------------------------------------------
+# ds02: the sample must be a pure function of ids — invariant under
+# repartitioning (the property rand()/sampleBy does NOT have).
+# ---------------------------------------------------------------------------
+
+def test_stratified_sample_layout_independent(spark):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "lang")
+    fr = {"en": 0.5, "de": 0.2}
+    a = stratified_sample(d, "doc_id", "lang", fr, default=0.1)
+    b = stratified_sample(d.repartition(13, "lang"), "doc_id", "lang", fr, default=0.1)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # per-stratum rates roughly honor the requested fractions
+    n_en = d.filter("lang = 'en'").count()
+    k_en = a.filter("lang = 'en'").count()
+    if n_en >= 100:
+        assert abs(k_en / n_en - 0.5) < 0.15
+
+
+# ---------------------------------------------------------------------------
+# Partitioned sink layout contract
+# ---------------------------------------------------------------------------
+
+def test_write_partitioned_parquet_layout(spark, tmp_path):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = str(tmp_path / "docs_by_lang")
+    write_partitioned_parquet(
+        d, out, ["lang"], max_records_per_file=50, sort_cols=["doc_id"]
+    )
+    langs = {r["lang"] for r in d.select("lang").distinct().collect()}
+    dirs = {
+        os.path.basename(p).split("=", 1)[1]
+        for p in glob.glob(f"{out}/lang=*")
+    }
+    assert dirs == langs
+    # every file respects the record cap
+    for f in glob.glob(f"{out}/lang=*/*.parquet"):
+        import pyarrow.parquet as pq
+
+        assert pq.ParquetFile(f).metadata.num_rows <= 50, f
+    # roundtrip: partition column restored, content identical
+    back = spark.read.parquet(out)
+    assert back.count() == d.count()
+    assert (
+        back.select(*d.columns).exceptAll(d).count() == 0
+        and d.exceptAll(back.select(*d.columns)).count() == 0
+    )
