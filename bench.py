@@ -37,6 +37,7 @@ HEADLINE = [
     "q20_doc_block_pairs",
     "q22_event_asof_order",
     "q23_price_quantiles",
+    "q24_error_context_events",
     "dd02_ngram_jaccard_pairs",
     "dd05_embedding_dup_pairs",
     "dd07_incremental_new_docs",

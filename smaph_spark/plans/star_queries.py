@@ -781,3 +781,52 @@ def q23(spark, sf_dir):
         ).alias("p90"),
         F.count("*").alias("n_parts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join (q24): events correlated to same-user events in
+# the trailing hour — the temporal-context / burst-detection operator.
+# Naive Spark: the pure range predicate degenerates to
+# BroadcastNestedLoopJoin (O(L x R)); operators/rangejoin.py recasts it
+# as a bucketed equi-join (probe side explodes to the 2 overlapped
+# hour-buckets) + exact window filter. Oracle: DuckDB's native
+# inequality join.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q24_error_context_events",
+    """
+    SELECT e.event_id, COUNT(c.event_id) AS n_ctx
+    FROM events e
+    LEFT JOIN events c
+      ON c.user_id = e.user_id
+     AND c.event_id <> e.event_id
+     AND c.ts BETWEEN e.ts - INTERVAL 1 HOUR AND e.ts
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id
+    """,
+    survey_ref="range join (beyond-reference temporal op; bucketed "
+               "equi-join recast, operators/rangejoin.py)",
+)
+def q24(spark, sf_dir):
+    from smaph_spark.operators.rangejoin import interval_join
+
+    ev = load(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    ctx = ev.select(
+        "user_id",
+        F.col("event_id").alias("c_event_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    hits = interval_join(
+        errors, ctx, "ts", "c_ts", -3600, 0, extra_on=["user_id"]
+    ).filter(F.col("c_event_id") != F.col("event_id"))
+    counts = hits.groupBy("event_id").agg(F.count("*").alias("n_ctx"))
+    # LEFT-join semantics: errors with an empty window keep n_ctx = 0
+    return (
+        errors.select("event_id")
+        .join(counts, "event_id", "left")
+        .select("event_id", F.coalesce("n_ctx", F.lit(0)).alias("n_ctx"))
+    )

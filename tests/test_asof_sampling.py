@@ -73,3 +73,81 @@ def test_deterministic_split_properties(spark):
     s2 = deterministic_split(d.repartition(13), "doc_id")
     b = sorted((r["doc_id"], r["split"]) for r in s2.collect())
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Bucketed interval (range) join
+# ---------------------------------------------------------------------------
+
+def _ts_frames(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(i, "u", base + dt.timedelta(seconds=s)) for i, s in
+         [(1, 0), (2, 3600), (3, 7200), (4, 7201)]],
+        "lid long, u string, lt timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [(j, "u", base + dt.timedelta(seconds=s)) for j, s in
+         [(10, -3600), (11, -1), (12, 0), (13, 3599), (14, 3600), (15, 10000)]],
+        "rid long, u string, rt timestamp_ntz",
+    )
+    return left, right
+
+
+def test_interval_join_matches_naive(spark):
+    from smaph_spark.operators.rangejoin import interval_join
+
+    left, right = _ts_frames(spark)
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_join(
+            left, right, "lt", "rt", -3600, 0, extra_on=["u"]
+        ).collect()
+    }
+    # naive reference: cross + exact window (inclusive both ends)
+    naive = {
+        (l["lid"], r["rid"])
+        for l in left.collect() for r in right.collect()
+        if l["u"] == r["u"]
+        and -3600 <= (r["rt"] - l["lt"]).total_seconds() <= 0
+    }
+    assert got == naive and len(naive) > 0
+    # boundary rows included exactly once: rt == lt and rt == lt - 1h
+    assert (1, 10) in got and (1, 12) in got and (1, 11) in got
+    assert (2, 12) in got and (2, 14) in got
+
+
+def test_interval_join_asymmetric_window_and_bucket(spark):
+    from smaph_spark.operators.rangejoin import interval_join
+
+    left, right = _ts_frames(spark)
+    # forward-looking window [lt, lt+2h], odd bucket width: candidates
+    # from 3+ buckets must still produce exactly the naive result
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_join(
+            left, right, "lt", "rt", 0, 7200, bucket_s=1700, extra_on=["u"]
+        ).collect()
+    }
+    naive = {
+        (l["lid"], r["rid"])
+        for l in left.collect() for r in right.collect()
+        if l["u"] == r["u"]
+        and 0 <= (r["rt"] - l["lt"]).total_seconds() <= 7200
+    }
+    assert got == naive and len(naive) > 0
+
+
+def test_interval_join_plan_is_equi_join(spark):
+    """The whole point: the physical plan must be a hash equi-join on
+    the bucket key, never a nested-loop over the range predicate."""
+    from smaph_spark.operators.rangejoin import interval_join
+
+    left, right = _ts_frames(spark)
+    plan = interval_join(
+        left, right, "lt", "rt", -3600, 0, extra_on=["u"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
