@@ -49,22 +49,28 @@ def asof_join(
     # side marker orders same-timestamp rows: inclusive (>=) wants the
     # right row BEFORE the left row at equal t; strict (>) the reverse
     r_mark, l_mark = (0, 1) if not strict else (1, 0)
+    # NULL join keys never match (SQL equi-join semantics): drop them
+    # from the right side up front; null-key left rows then see an
+    # empty window -> dropped under 'inner', null payload under 'left'
+    right = right.filter(F.col(on).isNotNull())
+    # the whole right row rides in ONE struct so last(ignorenulls) can
+    # never stitch fields from different rows: a right row whose
+    # payload value is legitimately NULL still has a non-null struct,
+    # only the left-side placeholder rows (struct-NULL) are skipped
     r = right.select(
         F.col(on).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(r_mark).alias("_side"),
-        F.col(right_time).alias("_r_time"),
-        *[F.col(c).alias(f"_r_{c}") for c in payload_cols],
+        F.struct(
+            F.col(right_time).alias("_time"),
+            *[F.col(c).alias(c) for c in payload_cols],
+        ).alias("_r"),
     )
     l = left.select(
         F.col(on).alias("_k"),
         F.col(left_time).alias("_t"),
         F.lit(l_mark).alias("_side"),
-        F.lit(None).cast(r.schema["_r_time"].dataType).alias("_r_time"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-            for c in payload_cols
-        ],
+        F.lit(None).cast(r.schema["_r"].dataType).alias("_r"),
         *[F.col(c) for c in left.columns],
     )
     # align schemas for the union (left carries its own columns; the
@@ -79,14 +85,12 @@ def asof_join(
         .orderBy("_t", "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    asof = F.last("_r", ignorenulls=True).over(w)
     out = unioned.select(
         *left.columns,
         F.col("_side").alias("_is_left"),
-        F.last("_r_time", ignorenulls=True).over(w).alias("asof_time"),
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(c)
-            for c in payload_cols
-        ],
+        asof["_time"].alias("asof_time"),
+        *[asof[c].alias(c) for c in payload_cols],
     ).filter(F.col("_is_left") == l_mark).drop("_is_left")
     if how == "inner":
         out = out.filter(F.col("asof_time").isNotNull())

@@ -9,10 +9,15 @@ DataFrame self-joins (SURVEY §4 item 2), with ``localCheckpoint`` every
 detected when no label changes. Cluster id = min record_id of the
 component (deterministic).
 
-Scale notes: each iteration is one shuffle on record_id; iteration
-count ~ component diameter (dup clusters are shallow — the minhash
-graph is near-clique, so 3-5 iterations in practice). AQE handles
-skewed high-degree nodes; the blocking cap bounds max degree upstream.
+Scale notes: each iteration is one shuffle on record_id for the
+neighbour step plus one self-join for pointer jumping
+(label[x] <- label[label[x]]), so iteration count is O(log component
+diameter) — a million-node CHAIN converges in ~20 iterations, where
+plain hash-min label propagation would need a million (dup clusters
+are near-cliques needing 2-3 either way; the jump step is what makes
+the chain-shaped graphs of er03's token-band buckets safe at any
+corpus size). AQE handles skewed high-degree nodes; the blocking cap
+bounds max degree upstream.
 """
 
 from __future__ import annotations
@@ -68,12 +73,33 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("cluster_id").alias("neigh_min"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neigh, labels.record_id == neigh.src, "left")
             .select(
                 "record_id",
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("neigh_min"), F.col("cluster_id"))
+                ).alias("mid_cluster_id"),
+                F.col("cluster_id"),
+            )
+        ).persist()
+        # pointer jumping: label[x] <- label[label[x]]. Neighbour
+        # propagation alone needs ~diameter iterations — a CHAIN graph
+        # (er03's token-band buckets produce exactly that shape) would
+        # outrun any fixed iteration cap as the corpus grows. Labels
+        # are node ids, so one self-join per iteration halves the
+        # remaining chain depth: convergence in O(log diameter).
+        ptr = stepped.select(
+            F.col("record_id").alias("pj_id"),
+            F.col("mid_cluster_id").alias("pj_lab"),
+        )
+        new_labels = (
+            stepped.join(ptr, stepped.mid_cluster_id == ptr.pj_id, "left")
+            .select(
+                "record_id",
+                F.least(
+                    F.col("mid_cluster_id"),
+                    F.coalesce(F.col("pj_lab"), F.col("mid_cluster_id")),
                 ).alias("new_cluster_id"),
                 F.col("cluster_id"),
             )
@@ -90,6 +116,9 @@ def connected_components(
             ).collect()[0]["c"]
             or 0
         )
+        # the action above baked stepped into new_labels' persisted
+        # partitions (both sides of the self-join read the same cache)
+        stepped.unpersist()
         labels = new_labels.select(
             "record_id", F.col("new_cluster_id").alias("cluster_id")
         )

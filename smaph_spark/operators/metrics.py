@@ -137,6 +137,10 @@ def grouped_prf(
     # above max_groups, keep a deterministic hash-sample of groups (the
     # macro/bootstrap estimates become a group sample; micro counts are
     # still exact over the sampled groups) and say so, never silently.
+    # count + collect (+ the sampling filter) reuse one materialization
+    # of the heavy full_outer join instead of re-running it per action
+    cached = per_group.persist()
+    per_group = cached
     n_total = per_group.count()
     sampled = False
     if n_total > max_groups:
@@ -153,7 +157,9 @@ def grouped_prf(
             F.pmod(F.xxhash64("g"), F.lit(n_total)) < F.lit(max_groups)
         )
         sampled = True
-    per_group = per_group.collect()
+    rows = per_group.collect()
+    cached.unpersist()  # per_group may be the filtered child — release
+    per_group = rows    # the cached parent, not a derived no-op handle
     tp = np.array([r["tp"] for r in per_group], dtype=np.float64)
     fp = np.array([r["fp"] for r in per_group], dtype=np.float64)
     fn = np.array([r["fn"] for r in per_group], dtype=np.float64)

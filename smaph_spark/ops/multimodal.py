@@ -52,6 +52,14 @@ def decode_image(payload: bytes) -> np.ndarray:
     bottom_up = height > 0
     h = abs(height)
     row_size = (width * 3 + 3) // 4 * 4  # rows pad to 4-byte boundaries
+    if data_offset < 54 or data_offset + row_size * h > len(payload):
+        # truncated download / corrupt header: a malformed VALUE must
+        # never kill the job (one bad image in a 100 TB corpus) — the
+        # caller's fallback handles it like any undecodable payload
+        raise ValueError(
+            f"corrupt BMP: need {data_offset + row_size * h} bytes, "
+            f"have {len(payload)}"
+        )
     arr = np.frombuffer(
         payload, dtype=np.uint8, offset=data_offset, count=row_size * h
     )
@@ -108,6 +116,12 @@ def _decode_meta(payload: bytes) -> tuple[int, int, float, str]:
     except NotImplementedError:
         w, h, feat = fake_decode_meta(payload)
         return w, h, feat, "stub-sha256"
+    except ValueError:
+        # corrupt/truncated payload that passed the header sniff:
+        # deterministic fallback, distinctly labeled so a corpus scan
+        # can count bad files instead of dying on the first one
+        w, h, feat = fake_decode_meta(payload)
+        return w, h, feat, "stub-corrupt"
 
 
 def extract_features(binary_df: DataFrame) -> DataFrame:

@@ -117,6 +117,8 @@ def lsh_topk(
     band_bits: int = 4,
     multiprobe_bits: int = 1,
     log_scan_fraction: bool = True,
+    dim: int = 64,
+    metrics_key: str = "sim02_lsh_topk",
 ) -> DataFrame:
     """Hyperplane-LSH ANN: bucket join on band keys + exact rerank.
 
@@ -130,9 +132,13 @@ def lsh_topk(
     not require re-indexing."""
     from pyspark.sql import Window as W
 
+    if multiprobe_bits > 2:
+        # only 1- and 2-bit probe rings are generated; silently
+        # clamping would hand back less recall than the caller tuned for
+        raise ValueError("multiprobe_bits > 2 not implemented")
     n_bands = n_planes // band_bits
     mask = (1 << band_bits) - 1
-    sig_udf = make_hyperplane_udf(dim=64, n_planes=n_planes)
+    sig_udf = make_hyperplane_udf(dim=dim, n_planes=n_planes)
     sig = e.withColumn("sig", sig_udf("emb"))
 
     def band_keys(probe: bool):
@@ -172,23 +178,31 @@ def lsh_topk(
     )
     if log_scan_fraction:
         cand = cand.persist()
-        n_cand = cand.count()
-        n_q = sig.filter(query_filter).count()
-        n_vecs = e.count()
-        frac = n_cand / max(n_q * (n_vecs - 1), 1)
-        SCAN_METRICS["sim02_lsh_topk"] = {
-            "candidates": n_cand, "queries": n_q, "vectors": n_vecs,
-            "scan_fraction": round(frac, 4),
-        }
-        _LOG.info("sim02 LSH candidate scan fraction: %.4f "
-                  "(%d of %d possible)", frac, n_cand, n_q * (n_vecs - 1))
     scored = cand.withColumn("cos_raw", _cosine("q_emb", "n_emb"))
     w = W.partitionBy("q_vec").orderBy(F.desc("cos_raw"), F.asc("n_vec"))
-    return (
+    result = (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("q_vec", "n_vec", F.round("cos_raw", 4).alias("cos"), "rnk")
     )
+    if log_scan_fraction:
+        n_cand = cand.count()
+        # counts on the RAW input (no hyperplane UDF re-run)
+        n_q = e.filter(query_filter).count()
+        n_vecs = e.count()
+        frac = n_cand / max(n_q * (n_vecs - 1), 1)
+        SCAN_METRICS[metrics_key] = {
+            "candidates": n_cand, "queries": n_q, "vectors": n_vecs,
+            "scan_fraction": round(frac, 4),
+        }
+        _LOG.info("%s LSH candidate scan fraction: %.4f "
+                  "(%d of %d possible)", metrics_key, frac, n_cand,
+                  n_q * (n_vecs - 1))
+        # bake the (tiny, q*k-row) result so the candidate cache can be
+        # released now instead of leaking for the session lifetime
+        result = result.localCheckpoint(eager=True)
+        cand.unpersist()
+    return result
 
 
 @register(

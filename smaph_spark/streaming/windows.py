@@ -69,16 +69,32 @@ def streaming_exact_dedup(
 
 
 _DURATION_UNITS_MS = {
-    "millisecond": 1, "second": 1_000, "minute": 60_000,
-    "hour": 3_600_000, "day": 86_400_000,
+    "us": 1, "microsecond": 1, "ms": 1, "millisecond": 1, "milli": 1,
+    "second": 1_000, "sec": 1_000, "s": 1_000,
+    "minute": 60_000, "min": 60_000, "m": 60_000,
+    "hour": 3_600_000, "h": 3_600_000,
+    "day": 86_400_000, "d": 86_400_000, "week": 604_800_000, "w": 604_800_000,
 }
+# Spark counts 'us'/'ms' sub-ms units; state timeouts are ms-grained,
+# so microseconds floor to 1 ms rather than 0 (never a zero timeout)
 
 
 def duration_ms(spec: str) -> int:
-    """Parse a Spark-style interval string ('1 hour', '30 seconds',
-    '500 milliseconds') to milliseconds."""
-    n, unit = spec.strip().split()
-    return int(n) * _DURATION_UNITS_MS[unit.rstrip("s").lower()]
+    """Parse a Spark CalendarInterval-style string to milliseconds:
+    '1 hour', '30 SECONDS', '1 min', '1 hour 30 minutes' — every form
+    ``withWatermark`` accepts must parse here too (this feeds the state
+    timeout default), so: case-insensitive, plural/abbreviated units,
+    multiple value-unit components summed."""
+    parts = spec.strip().lower().split()
+    if not parts or len(parts) % 2 != 0:
+        raise ValueError(f"cannot parse interval: {spec!r}")
+    total = 0
+    for n, unit in zip(parts[::2], parts[1::2]):
+        u = unit.rstrip("s") or unit  # plural strip ('mins' -> 'min')
+        if u not in _DURATION_UNITS_MS:
+            raise ValueError(f"unknown interval unit {unit!r} in {spec!r}")
+        total += int(n) * _DURATION_UNITS_MS[u]
+    return total
 
 
 def streaming_match_count_stateful(

@@ -151,3 +151,39 @@ def test_interval_join_plan_is_equi_join(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan, plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_asof_null_payload_stays_atomic(spark):
+    """A right row whose payload is legitimately NULL must be returned
+    AS THAT ROW — per-column last(ignorenulls) used to stitch the
+    payload from an older row (torn row)."""
+    left = spark.createDataFrame([(1, "k", 20)], "event_id long, k string, t long")
+    right = spark.createDataFrame(
+        [("k", 5, 2.0), ("k", 10, None)], "k string, rt long, price double"
+    )
+    rows = asof_join(
+        left, right, on="k", left_time="t", right_time="rt",
+        payload_cols=["price"],
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["asof_time"] == 10 and rows[0]["price"] is None
+
+
+def test_asof_null_keys_never_match(spark):
+    left = spark.createDataFrame(
+        [(1, None, 20), (2, "k", 20)], "event_id long, k string, t long"
+    )
+    right = spark.createDataFrame(
+        [(None, 10, 1.0), ("k", 10, 2.0)], "k string, rt long, price double"
+    )
+    inner = asof_join(
+        left, right, on="k", left_time="t", right_time="rt",
+        payload_cols=["price"],
+    ).collect()
+    assert [(r["event_id"], r["price"]) for r in inner] == [(2, 2.0)]
+    outer = asof_join(
+        left, right, on="k", left_time="t", right_time="rt",
+        payload_cols=["price"], how="left",
+    ).collect()
+    got = {r["event_id"]: (r["asof_time"], r["price"]) for r in outer}
+    assert got == {1: (None, None), 2: (10, 2.0)}

@@ -337,3 +337,52 @@ def test_streaming_state_timeout_derived_from_watermark():
     assert duration_ms("30 seconds") == 30_000
     assert duration_ms("500 milliseconds") == 500
     assert duration_ms("2 days") == 172_800_000
+
+
+def test_decode_corrupt_bmp_falls_back_not_crashes():
+    """A truncated payload that passes the BMP header sniff must take
+    the deterministic fallback (one bad image must never kill a corpus
+    pass), labeled distinctly from the compressed-format stub."""
+    import numpy as np
+
+    from smaph_spark.ops.multimodal import _decode_meta, encode_bmp
+
+    good = encode_bmp(
+        (np.arange(9 * 8 * 3, dtype=np.uint8).reshape(9, 8, 3))
+    )
+    truncated = good[: len(good) - 40]
+    w, h, feat, decoder = _decode_meta(truncated)
+    assert decoder == "stub-corrupt"
+    assert _decode_meta(truncated) == (w, h, feat, decoder)  # deterministic
+    assert _decode_meta(good)[3] == "bmp-numpy"
+
+
+def test_duration_ms_accepts_spark_interval_forms():
+    import pytest as _pytest
+
+    from smaph_spark.streaming.windows import duration_ms
+
+    assert duration_ms("1 hour") == 3_600_000
+    assert duration_ms("30 SECONDS") == 30_000
+    assert duration_ms("1 min") == 60_000
+    assert duration_ms("2 mins") == 120_000
+    assert duration_ms("1 hour 30 minutes") == 5_400_000
+    assert duration_ms("500 milliseconds") == 500
+    with _pytest.raises(ValueError):
+        duration_ms("soon")
+    with _pytest.raises(ValueError):
+        duration_ms("3 fortnights")
+
+
+def test_lsh_topk_rejects_unimplemented_probe_depth(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from smaph_spark.ops.similarity import lsh_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
+    )
+    with _pytest.raises(ValueError, match="multiprobe_bits"):
+        lsh_topk(e, F.col("vec_id") < 5, multiprobe_bits=3)

@@ -194,3 +194,30 @@ def test_input_fingerprint_duplicates_do_not_cancel(spark):
     a = spark.createDataFrame([("x",), ("x",), ("y",), ("y",)], "v string")
     b = spark.createDataFrame([("z",), ("z",), ("y",), ("y",)], "v string")
     assert ERPipeline._input_fingerprint(a) != ERPipeline._input_fingerprint(b)
+
+
+def test_cc_long_chain_converges_within_log_iterations(spark):
+    """Pointer jumping must label a chain FAR longer than the iteration
+    cap: a 300-hop path converges in O(log d) iterations, where plain
+    neighbour propagation would need 300 (> cc_max_iterations=20) and
+    silently split the component."""
+    import warnings
+    from dataclasses import replace
+
+    from smaph_spark.operators.clustering import connected_components
+
+    n = 301  # single path 0-1-2-...-300
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "left_id long, right_id long"
+    )
+    cfg = replace(ERConfig(), cc_local_threshold=0)
+    with warnings.catch_warnings():
+        # non-convergence warning = failure (RuntimeWarning only: the
+        # blanket filter also trips py4j's benign socket-GC unraisable)
+        warnings.simplefilter("error", RuntimeWarning)
+        labels, hist = connected_components(edges, cfg)
+    rows = labels.collect()
+    assert len(rows) == n
+    assert {r["cluster_id"] for r in rows} == {0}
+    n_iters = sum(1 for h in hist if "iteration" in h)
+    assert n_iters <= 12, hist
