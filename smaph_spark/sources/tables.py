@@ -16,6 +16,7 @@ logical behavior minus time travel.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 FILES_SCHEMA = "repo string, path string, commit string, lang string, content string"
 
@@ -56,3 +57,76 @@ def load_files_table(
             reader = reader.option("snapshot-id", str(snapshot_id))
         return reader.load(table)
     return spark.read.parquet(source)
+
+
+def load_jsonl_files(
+    spark: SparkSession,
+    path: str,
+    schema: str = FILES_SCHEMA,
+    bad_records_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """Schema-enforced JSONL ingest that quarantines malformed rows
+    instead of failing the job or silently dropping data.
+
+    Web-scale ingest feeds are never clean; FAILFAST kills a 100 TB
+    pass on the first bad line and DROPMALFORMED hides data loss.
+    PERMISSIVE + an explicit corrupt-record column keeps the scan
+    single-pass and splits the output into (good, quarantine): good
+    rows match ``schema`` exactly; quarantined rows carry the raw line
+    for offline triage. Returns (good, bad) DataFrames.
+
+    Scale notes: the split is two filters over ONE json scan (no
+    second parse); schema is explicit, so Spark never runs the
+    schema-inference pre-pass over the whole input (a full extra read
+    at corpus scale).
+    """
+    full_schema = f"{schema}, {bad_records_col} string"
+    raw = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", bad_records_col)
+        .json(path)
+    )
+    return _split_quarantine(raw, bad_records_col)
+
+
+def load_csv_files(
+    spark: SparkSession,
+    path: str,
+    schema: str = FILES_SCHEMA,
+    bad_records_col: str = "_corrupt_record",
+    **options,
+) -> tuple[DataFrame, DataFrame]:
+    """CSV twin of :func:`load_jsonl_files` (same quarantine contract;
+    explicit schema avoids the inference pre-pass)."""
+    full_schema = f"{schema}, {bad_records_col} string"
+    raw = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", bad_records_col)
+        .option("header", options.pop("header", True))
+        .options(**options)
+        .csv(path)
+    )
+    return _split_quarantine(raw, bad_records_col)
+
+
+def _split_quarantine(
+    raw: DataFrame, bad_records_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(good, bad) split on the corrupt-record column. Spark forbids
+    filtering raw file scans on ONLY the corrupt column
+    (QUERY_ONLY_CORRUPT_RECORD_COLUMN, since the pruned scan would
+    never parse the data columns), so the parsed frame is persisted
+    (memory-and-disk: one parse pass, spill-safe on corpus-sized
+    feeds) before both sides filter it — the documented pattern. The
+    caller should unpersist via ``good.unpersist()`` lineage once both
+    sides are consumed; for one-shot ETL the cache dies with the job."""
+    from pyspark import StorageLevel
+
+    raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
+    good = raw.filter(F.col(bad_records_col).isNull()).drop(bad_records_col)
+    bad = raw.filter(F.col(bad_records_col).isNotNull()).select(
+        F.col(bad_records_col).alias("raw_line")
+    )
+    return good, bad

@@ -149,3 +149,49 @@ def streaming_match_count_stateful(
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def streaming_interval_join(
+    spark: SparkSession,
+    left_dir: str,
+    right_dir: str,
+    left_schema,
+    right_schema,
+    on: str,
+    left_time: str,
+    right_time: str,
+    low_offset_s: int = -3600,
+    high_offset_s: int = 0,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of operators/rangejoin.interval_join: stream-
+    stream INNER join on ``on`` plus the event-time range
+    ``l[left_time] + low <= r[right_time] <= l[left_time] + high``.
+
+    This is the canonical Structured Streaming range join: BOTH sides
+    carry a watermark and the join condition bounds the time skew, so
+    Spark can expire join state — each side buffers only rows within
+    (watermark + window) of the stream head, never the whole history.
+    Without the range term the state store would grow unboundedly (the
+    batch recast in operators/rangejoin.py has the same two
+    ingredients as bucket key + filter; here they become state-expiry
+    conditions). Column names must be disjoint apart from ``on``."""
+    l = (
+        spark.readStream.schema(left_schema).parquet(left_dir)
+        .withColumn(left_time, F.col(left_time).cast("timestamp"))
+        .withWatermark(left_time, watermark)
+    )
+    r = (
+        spark.readStream.schema(right_schema).parquet(right_dir)
+        .withColumn(right_time, F.col(right_time).cast("timestamp"))
+        .withWatermark(right_time, watermark)
+        .withColumnRenamed(on, f"_r_{on}")
+    )
+    lo = F.col(left_time) + F.make_interval(secs=F.lit(float(low_offset_s)))
+    hi = F.col(left_time) + F.make_interval(secs=F.lit(float(high_offset_s)))
+    cond = (
+        (F.col(on) == F.col(f"_r_{on}"))
+        & (F.col(right_time) >= lo)
+        & (F.col(right_time) <= hi)
+    )
+    return l.join(r, cond, "inner").drop(f"_r_{on}")

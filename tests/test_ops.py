@@ -386,3 +386,64 @@ def test_lsh_topk_rejects_unimplemented_probe_depth(spark):
     )
     with _pytest.raises(ValueError, match="multiprobe_bits"):
         lsh_topk(e, F.col("vec_id") < 5, multiprobe_bits=3)
+
+
+def test_streaming_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream range join (watermarks + time-bound condition =
+    bounded state) must produce exactly the batch interval_join pairs."""
+    import pandas as pd
+
+    from smaph_spark.operators.rangejoin import interval_join
+    from smaph_spark.streaming.windows import streaming_interval_join
+
+    base = pd.Timestamp("2026-01-01 12:00:00")
+    left_pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "user_id": [7, 7, 8],
+            "ts": [base, base + pd.Timedelta(hours=1), base],
+        }
+    )
+    right_pdf = pd.DataFrame(
+        {
+            "act_id": [10, 11, 12, 13],
+            "user_id": [7, 7, 7, 8],
+            "a_ts": [
+                base - pd.Timedelta(minutes=30),  # in window of ev 1
+                base + pd.Timedelta(minutes=30),  # in window of ev 2
+                base - pd.Timedelta(hours=2),     # out of every window
+                base,                             # boundary: ev 3 inclusive
+            ],
+        }
+    )
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(left_pdf).write.parquet(ldir)
+    spark.createDataFrame(right_pdf).write.parquet(rdir)
+    lschema = spark.read.parquet(ldir).schema
+    rschema = spark.read.parquet(rdir).schema
+
+    stream = streaming_interval_join(
+        spark, ldir, rdir, lschema, rschema,
+        on="user_id", left_time="ts", right_time="a_ts",
+    )
+    q = (
+        stream.writeStream.outputMode("append").format("memory")
+        .queryName("sij_out").trigger(availableNow=True).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["event_id"], r["act_id"])
+        for r in spark.sql("SELECT event_id, act_id FROM sij_out").collect()
+    }
+    batch = {
+        (r["event_id"], r["act_id"])
+        for r in interval_join(
+            spark.read.parquet(ldir),
+            spark.read.parquet(rdir).withColumnRenamed("user_id", "u2")
+            .withColumnRenamed("a_ts", "a_ts")
+            .withColumnRenamed("u2", "user_id"),
+            "ts", "a_ts", -3600, 0, extra_on=["user_id"],
+        ).collect()
+    }
+    assert got == batch == {(1, 10), (2, 11), (3, 13)}

@@ -115,3 +115,37 @@ def test_nif_cluster_export(spark, tmp_path):
         assert m, f"not a valid triple line: {l}"
         got[int(m.group(1))] = int(m.group(2))
     assert got == {1: 1, 2: 1, -3: -3}
+
+
+def test_jsonl_ingest_quarantines_bad_lines(spark, tmp_path):
+    from smaph_spark.sources.tables import load_jsonl_files
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"repo":"r1","path":"a.py","commit":"c1","lang":"py","content":"x"}\n'
+        "{this is not json\n"
+        '{"repo":"r2","path":"b.py","commit":"c2","lang":"py","content":"y"}\n'
+        '{"repo":"r3","path":"c.py"'  # truncated line
+    )
+    good, bad = load_jsonl_files(spark, str(p))
+    rows = {r["repo"] for r in good.collect()}
+    assert rows == {"r1", "r2"}
+    bad_lines = [r["raw_line"] for r in bad.collect()]
+    assert len(bad_lines) == 2
+    assert any("not json" in b for b in bad_lines)
+    # good side carries the exact declared schema, no corrupt column
+    assert good.columns == ["repo", "path", "commit", "lang", "content"]
+
+
+def test_csv_ingest_quarantines_bad_lines(spark, tmp_path):
+    from smaph_spark.sources.tables import load_csv_files
+
+    p = tmp_path / "feed.csv"
+    p.write_text(
+        "repo,path,commit,lang,content\n"
+        "r1,a.py,c1,py,x\n"
+        "r2,b.py,c2,py,y,EXTRA,TOKENS\n"  # wrong arity -> malformed
+    )
+    good, bad = load_csv_files(spark, str(p))
+    assert {r["repo"] for r in good.collect()} == {"r1"}
+    assert bad.count() == 1
