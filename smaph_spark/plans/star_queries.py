@@ -830,3 +830,45 @@ def q24(spark, sf_dir):
         .join(counts, "event_id", "left")
         .select("event_id", F.coalesce("n_ctx", F.lit(0)).alias("n_ctx"))
     )
+
+
+# ---------------------------------------------------------------------------
+# CUBE lattice (q25): all 2^k grouping combinations in ONE pass —
+# completes the grouping-sets family (q15 ROLLUP, q16 pivot). Spark
+# expands the lattice map-side and aggregates once (a single shuffle,
+# not 4 scans); GROUPING() markers disambiguate subtotal NULLs from
+# data NULLs, which also makes the cross-engine hash well-defined.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q25_event_type_hour_cube",
+    """
+    SELECT event_type,
+           EXTRACT(hour FROM ts)::BIGINT AS h,
+           GROUPING(event_type)::BIGINT AS g_type,
+           GROUPING(EXTRACT(hour FROM ts))::BIGINT AS g_hour,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents
+    FROM events
+    GROUP BY CUBE(event_type, EXTRACT(hour FROM ts))
+    """,
+    survey_ref="grouping-sets lattice (beyond-reference: single-pass "
+               "multi-granularity aggregate; q15/q16 siblings)",
+)
+def q25(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("long").alias("h"),
+        # exact integer cents: double SUM order differs across engines,
+        # floor-to-int does not
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return ev.cube("event_type", "h").agg(
+        F.grouping("event_type").cast("long").alias("g_type"),
+        F.grouping("h").cast("long").alias("g_hour"),
+        F.count("*").alias("n"),
+        F.sum("cents").alias("sum_value_cents"),
+    ).select(
+        "event_type", "h", "g_type", "g_hour", "n", "sum_value_cents"
+    )
