@@ -38,6 +38,7 @@ HEADLINE = [
     "q22_event_asof_order",
     "q23_price_quantiles",
     "q24_error_context_events",
+    "q25_event_type_hour_cube",
     "dd02_ngram_jaccard_pairs",
     "dd05_embedding_dup_pairs",
     "dd07_incremental_new_docs",

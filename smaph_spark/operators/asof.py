@@ -56,13 +56,19 @@ def asof_join(
     # the whole right row rides in ONE struct so last(ignorenulls) can
     # never stitch fields from different rows: a right row whose
     # payload value is legitimately NULL still has a non-null struct,
-    # only the left-side placeholder rows (struct-NULL) are skipped
+    # only the left-side placeholder rows (struct-NULL) are skipped.
+    # The internal time field dodges payload names at runtime (a
+    # payload literally named '_time' would otherwise make the struct
+    # field extraction ambiguous)
+    tfield = "_time"
+    while tfield in payload_cols:
+        tfield = "_" + tfield
     r = right.select(
         F.col(on).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(r_mark).alias("_side"),
         F.struct(
-            F.col(right_time).alias("_time"),
+            F.col(right_time).alias(tfield),
             *[F.col(c).alias(c) for c in payload_cols],
         ).alias("_r"),
     )
@@ -89,7 +95,7 @@ def asof_join(
     out = unioned.select(
         *left.columns,
         F.col("_side").alias("_is_left"),
-        asof["_time"].alias("asof_time"),
+        asof[tfield].alias("asof_time"),
         *[asof[c].alias(c) for c in payload_cols],
     ).filter(F.col("_is_left") == l_mark).drop("_is_left")
     if how == "inner":

@@ -64,7 +64,7 @@ def load_jsonl_files(
     path: str,
     schema: str = FILES_SCHEMA,
     bad_records_col: str = "_corrupt_record",
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Schema-enforced JSONL ingest that quarantines malformed rows
     instead of failing the job or silently dropping data.
 
@@ -73,7 +73,8 @@ def load_jsonl_files(
     PERMISSIVE + an explicit corrupt-record column keeps the scan
     single-pass and splits the output into (good, quarantine): good
     rows match ``schema`` exactly; quarantined rows carry the raw line
-    for offline triage. Returns (good, bad) DataFrames.
+    for offline triage. Returns (good, bad, cached); unpersist
+    ``cached`` when both sides are consumed.
 
     Scale notes: the split is two filters over ONE json scan (no
     second parse); schema is explicit, so Spark never runs the
@@ -96,9 +97,10 @@ def load_csv_files(
     schema: str = FILES_SCHEMA,
     bad_records_col: str = "_corrupt_record",
     **options,
-) -> tuple[DataFrame, DataFrame]:
-    """CSV twin of :func:`load_jsonl_files` (same quarantine contract;
-    explicit schema avoids the inference pre-pass)."""
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """CSV twin of :func:`load_jsonl_files` (same quarantine contract
+    and (good, bad, cached) return; explicit schema avoids the
+    inference pre-pass)."""
     full_schema = f"{schema}, {bad_records_col} string"
     raw = (
         spark.read.schema(full_schema)
@@ -113,20 +115,22 @@ def load_csv_files(
 
 def _split_quarantine(
     raw: DataFrame, bad_records_col: str
-) -> tuple[DataFrame, DataFrame]:
-    """(good, bad) split on the corrupt-record column. Spark forbids
-    filtering raw file scans on ONLY the corrupt column
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(good, bad, cached) split on the corrupt-record column. Spark
+    forbids filtering raw file scans on ONLY the corrupt column
     (QUERY_ONLY_CORRUPT_RECORD_COLUMN, since the pruned scan would
     never parse the data columns), so the parsed frame is persisted
     (memory-and-disk: one parse pass, spill-safe on corpus-sized
-    feeds) before both sides filter it — the documented pattern. The
-    caller should unpersist via ``good.unpersist()`` lineage once both
-    sides are consumed; for one-shot ETL the cache dies with the job."""
+    feeds) before both sides filter it — the documented pattern.
+    ``cached`` is the persisted handle itself: call
+    ``cached.unpersist()`` once both sides are consumed (unpersisting
+    the derived good/bad frames would be a no-op — uncaching matches
+    the exact persisted plan, not descendants)."""
     from pyspark import StorageLevel
 
-    raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
-    good = raw.filter(F.col(bad_records_col).isNull()).drop(bad_records_col)
-    bad = raw.filter(F.col(bad_records_col).isNotNull()).select(
+    cached = raw.persist(StorageLevel.MEMORY_AND_DISK)
+    good = cached.filter(F.col(bad_records_col).isNull()).drop(bad_records_col)
+    bad = cached.filter(F.col(bad_records_col).isNotNull()).select(
         F.col(bad_records_col).alias("raw_line")
     )
-    return good, bad
+    return good, bad, cached

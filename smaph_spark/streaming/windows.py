@@ -86,12 +86,19 @@ def duration_ms(spec: str) -> int:
     timeout default), so: case-insensitive, plural/abbreviated units,
     multiple value-unit components summed."""
     parts = spec.strip().lower().split()
+    if parts and parts[0] == "interval":  # optional leading keyword
+        parts = parts[1:]
     if not parts or len(parts) % 2 != 0:
         raise ValueError(f"cannot parse interval: {spec!r}")
     total = 0
     for n, unit in zip(parts[::2], parts[1::2]):
-        u = unit.rstrip("s") or unit  # plural strip ('mins' -> 'min')
-        if u not in _DURATION_UNITS_MS:
+        # exact unit first — plural-stripping 'ms'/'us' would corrupt
+        # them into 'm'/'u' (minutes / unknown)
+        if unit in _DURATION_UNITS_MS:
+            u = unit
+        elif unit.rstrip("s") in _DURATION_UNITS_MS:  # 'mins' -> 'min'
+            u = unit.rstrip("s")
+        else:
             raise ValueError(f"unknown interval unit {unit!r} in {spec!r}")
         total += int(n) * _DURATION_UNITS_MS[u]
     return total

@@ -187,3 +187,17 @@ def test_asof_null_keys_never_match(spark):
     ).collect()
     got = {r["event_id"]: (r["asof_time"], r["price"]) for r in outer}
     assert got == {1: (None, None), 2: (10, 2.0)}
+
+
+def test_asof_payload_named_time(spark):
+    """A payload column literally named '_time' must not collide with
+    the internal struct time field."""
+    left = spark.createDataFrame([(1, "k", 20)], "event_id long, k string, t long")
+    right = spark.createDataFrame(
+        [("k", 10, 7)], "k string, rt long, _time long"
+    )
+    rows = asof_join(
+        left, right, on="k", left_time="t", right_time="rt",
+        payload_cols=["_time"],
+    ).collect()
+    assert rows[0]["asof_time"] == 10 and rows[0]["_time"] == 7

@@ -368,6 +368,9 @@ def test_duration_ms_accepts_spark_interval_forms():
     assert duration_ms("2 mins") == 120_000
     assert duration_ms("1 hour 30 minutes") == 5_400_000
     assert duration_ms("500 milliseconds") == 500
+    assert duration_ms("500 ms") == 500      # 'ms' must not strip to 'm'
+    assert duration_ms("10 s") == 10_000     # bare 's' survives too
+    assert duration_ms("interval 1 hour") == 3_600_000
     with _pytest.raises(ValueError):
         duration_ms("soon")
     with _pytest.raises(ValueError):
@@ -439,10 +442,7 @@ def test_streaming_interval_join_matches_batch(spark, tmp_path):
     batch = {
         (r["event_id"], r["act_id"])
         for r in interval_join(
-            spark.read.parquet(ldir),
-            spark.read.parquet(rdir).withColumnRenamed("user_id", "u2")
-            .withColumnRenamed("a_ts", "a_ts")
-            .withColumnRenamed("u2", "user_id"),
+            spark.read.parquet(ldir), spark.read.parquet(rdir),
             "ts", "a_ts", -3600, 0, extra_on=["user_id"],
         ).collect()
     }

@@ -127,7 +127,7 @@ def test_jsonl_ingest_quarantines_bad_lines(spark, tmp_path):
         '{"repo":"r2","path":"b.py","commit":"c2","lang":"py","content":"y"}\n'
         '{"repo":"r3","path":"c.py"'  # truncated line
     )
-    good, bad = load_jsonl_files(spark, str(p))
+    good, bad, cached = load_jsonl_files(spark, str(p))
     rows = {r["repo"] for r in good.collect()}
     assert rows == {"r1", "r2"}
     bad_lines = [r["raw_line"] for r in bad.collect()]
@@ -135,6 +135,7 @@ def test_jsonl_ingest_quarantines_bad_lines(spark, tmp_path):
     assert any("not json" in b for b in bad_lines)
     # good side carries the exact declared schema, no corrupt column
     assert good.columns == ["repo", "path", "commit", "lang", "content"]
+    cached.unpersist()
 
 
 def test_csv_ingest_quarantines_bad_lines(spark, tmp_path):
@@ -146,6 +147,9 @@ def test_csv_ingest_quarantines_bad_lines(spark, tmp_path):
         "r1,a.py,c1,py,x\n"
         "r2,b.py,c2,py,y,EXTRA,TOKENS\n"  # wrong arity -> malformed
     )
-    good, bad = load_csv_files(spark, str(p))
+    good, bad, cached = load_csv_files(spark, str(p))
     assert {r["repo"] for r in good.collect()} == {"r1"}
     assert bad.count() == 1
+    assert cached.storageLevel.useMemory  # the releasable handle
+    cached.unpersist()
+    assert not cached.storageLevel.useMemory
