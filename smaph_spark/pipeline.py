@@ -215,6 +215,106 @@ class ERPipeline:
             stage_metrics=dict(self._metrics),
         )
 
+    def run_incremental(
+        self,
+        history_files: DataFrame,
+        new_files: DataFrame,
+        history_clusters: DataFrame,
+    ) -> PipelineResult:
+        """Resolve a NEW batch against an already-resolved history —
+        the production mode of a continuously-ingesting ER deployment.
+
+        Only pairs touching at least one new record are featurized and
+        scored: the quadratic stage shrinks from O(|all|·avg_block) to
+        O(|new|·avg_block). History-history matches enter the final
+        connected components as pseudo-edges (record_id, cluster_id)
+        from ``history_clusters``, so a new record bridging two old
+        clusters merges them exactly as a full-batch run would.
+
+        Result is IDENTICAL to ``run(history ∪ new)`` provided
+        ``history_clusters`` came from this pipeline (same config +
+        scorer) over ``history_files``: scoring is deterministic, so a
+        history-history pair that did not match before still would not
+        (equivalence pinned by tests/test_pipeline.py). Blocking stays
+        linear and is recomputed over the union here; at cluster scale
+        the history side's normalize/block snapshots (stages s1/s2 of
+        the history run) are the natural cache for it.
+        """
+        cfg = self.cfg
+        files = history_files.unionByName(new_files)
+        self._input_fp = self._input_fingerprint(files) + "-inc"
+
+        normalized = self._load_or_compute(
+            "s1_normalized", lambda: normalize_files(files, cfg).drop("content")
+        )
+
+        def _blocks():
+            blocks = generate_blocks(normalized, cfg)
+            salted, _ = cap_and_salt_blocks(blocks, cfg)
+            return salted
+
+        salted = self._load_or_compute("s2_blocks", _blocks)
+
+        new_ids = new_files.select(
+            F.xxhash64("repo", "path", "commit").alias("record_id"),
+            F.lit(True).alias("_new"),
+        ).distinct()
+
+        def _pairs():
+            pairs = generate_pairs(salted, cfg)
+            flagged = (
+                pairs.join(
+                    new_ids.withColumnRenamed("record_id", "left_id")
+                    .withColumnRenamed("_new", "_new_l"),
+                    "left_id", "left",
+                )
+                .join(
+                    new_ids.withColumnRenamed("record_id", "right_id")
+                    .withColumnRenamed("_new", "_new_r"),
+                    "right_id", "left",
+                )
+                .filter(F.col("_new_l") | F.col("_new_r"))
+                .drop("_new_l", "_new_r")
+            )
+            feat = attach_pair_features(flagged, normalized, cfg)
+            if self.scorer_model is not None:
+                return gbt_score(self.scorer_model, feat)
+            return rule_score(feat, cfg)
+
+        pairs_scored = self._load_or_compute("s3_pairs_scored", _pairs)
+
+        matches = self._load_or_compute(
+            "s4_matches",
+            lambda: filter_matches(pairs_scored, cfg).filter(F.col("is_match")),
+        )
+
+        def _clusters():
+            # history cluster memberships ride into CC as pseudo-edges;
+            # canonicalized (min, max) like every match pair
+            old_edges = history_clusters.filter(
+                F.col("record_id") != F.col("cluster_id")
+            ).select(
+                F.least("record_id", "cluster_id").alias("left_id"),
+                F.greatest("record_id", "cluster_id").alias("right_id"),
+            )
+            edges = matches.select("left_id", "right_id").unionByName(old_edges)
+            clusters, history = connected_components(
+                edges, cfg, all_records=normalized
+            )
+            self._metrics["s5_cc_iterations"] = history
+            return clusters
+
+        clusters = self._load_or_compute("s5_clusters", _clusters)
+
+        return PipelineResult(
+            normalized=normalized,
+            blocks=salted,
+            pairs_scored=pairs_scored,
+            matches=matches,
+            clusters=clusters,
+            stage_metrics=dict(self._metrics),
+        )
+
     def stage_metrics_resumed(self) -> bool:
         """True iff every snapshot-backed stage was read from disk."""
         stages = [k for k in self._metrics if k.startswith("s") and k[1].isdigit()

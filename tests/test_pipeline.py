@@ -221,3 +221,46 @@ def test_cc_long_chain_converges_within_log_iterations(spark):
     assert {r["cluster_id"] for r in rows} == {0}
     n_iters = sum(1 for h in hist if "iteration" in h)
     assert n_iters <= 12, hist
+
+
+def test_incremental_er_equals_full_batch(spark):
+    """run_incremental(history, delta, history_clusters) must produce
+    EXACTLY the clusters of run(history ∪ delta), while scoring only
+    pairs that touch a delta record."""
+    files_pdf, _, _ = generate_files_corpus(n_clusters=60, seed=777)
+    files = spark.createDataFrame(files_pdf)
+    # deterministic ~80/20 split that cuts through duplicate clusters
+    # (so delta records must both join existing clusters and form new
+    # ones, and some bridge history clusters)
+    bucket = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(5))
+    history = files.filter(bucket < 4)
+    delta = files.filter(bucket >= 4)
+    assert 0 < delta.count() < files.count()
+
+    full = ERPipeline(spark, ERConfig()).run(files)
+    hist_res = ERPipeline(spark, ERConfig()).run(history)
+    inc_pipe = ERPipeline(spark, ERConfig())
+    inc = inc_pipe.run_incremental(history, delta, hist_res.clusters)
+
+    full_set = {
+        (r["record_id"], r["cluster_id"]) for r in full.clusters.collect()
+    }
+    inc_set = {
+        (r["record_id"], r["cluster_id"]) for r in inc.clusters.collect()
+    }
+    assert inc_set == full_set
+
+    # the quadratic stage only touched delta pairs
+    delta_ids = {
+        r["record_id"]
+        for r in delta.select(
+            F.xxhash64("repo", "path", "commit").alias("record_id")
+        ).collect()
+    }
+    scored = inc.pairs_scored.select("left_id", "right_id").collect()
+    assert len(scored) > 0
+    assert all(
+        r["left_id"] in delta_ids or r["right_id"] in delta_ids for r in scored
+    )
+    # and it did strictly less scoring work than the full run
+    assert len(scored) < full.pairs_scored.count()
