@@ -233,3 +233,37 @@ def er_document_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score", 4).alias("score"),
         )
     )
+
+
+@register(
+    "er04_incremental_clusters",
+    None,  # MinHash blocking inside — rows-only at the driver; the
+    # incremental == full-batch equivalence is pytest-pinned
+    # (tests/test_pipeline.py, tests/test_er_docs.py)
+    survey_ref="incremental ER over documents: delta batch (ds01 hash "
+               "bucket >= 8) resolved against the resolved 80% history "
+               "via ERPipeline.run_incremental — the production ingest "
+               "mode; scores only delta-touching pairs",
+)
+def er_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster summary after incrementally folding the 20% delta into
+    the resolved 80% history (same split recipe as ds01/dd07)."""
+    from smaph_spark.ops.sampling import hash_bucket
+
+    files = documents_as_files(spark, sf_dir)
+    b = hash_bucket(F.col("doc_id"), 10)
+    history = files.filter(b < 8).drop("doc_id")
+    delta = files.filter(b >= 8).drop("doc_id")
+    model, threshold = get_document_scorer(spark)
+    cfg = replace(_DOC_CFG, match_threshold=threshold)
+    hist_res = ERPipeline(spark, cfg, scorer_model=model).run(history)
+    inc = ERPipeline(spark, cfg, scorer_model=model).run_incremental(
+        history, delta, hist_res.clusters
+    )
+    return (
+        inc.clusters.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )

@@ -125,3 +125,43 @@ def test_er01_er02_share_one_pipeline_run(spark):
     res1, ids1 = er_docs.run_document_er(spark, SF)
     res2, ids2 = er_docs.run_document_er(spark, SF)
     assert res1 is res2 and ids1 is ids2
+
+
+def test_er04_incremental_equals_full_flagship(spark):
+    """Folding the 20% delta into the resolved 80% history must yield
+    EXACTLY the full-batch flagship clustering (same GBT scorer path),
+    and er04's summary must agree with the full run's."""
+    from dataclasses import replace
+
+    from smaph_spark.config import ERConfig  # noqa: F401 (style parity)
+    from smaph_spark.ops.er_docs import (
+        _DOC_CFG, documents_as_files, get_document_scorer,
+    )
+    from smaph_spark.ops.sampling import hash_bucket
+    from smaph_spark.pipeline import ERPipeline
+
+    files = documents_as_files(spark, SF)
+    b = hash_bucket(F.col("doc_id"), 10)
+    history = files.filter(b < 8).drop("doc_id")
+    delta = files.filter(b >= 8).drop("doc_id")
+    model, threshold = get_document_scorer(spark)
+    cfg = replace(_DOC_CFG, match_threshold=threshold)
+
+    full = ERPipeline(spark, cfg, scorer_model=model).run(files.drop("doc_id"))
+    hist_res = ERPipeline(spark, cfg, scorer_model=model).run(history)
+    inc = ERPipeline(spark, cfg, scorer_model=model).run_incremental(
+        history, delta, hist_res.clusters
+    )
+    full_set = {(r["record_id"], r["cluster_id"]) for r in full.clusters.collect()}
+    inc_set = {(r["record_id"], r["cluster_id"]) for r in inc.clusters.collect()}
+    assert inc_set == full_set
+
+    summary = {
+        (r["cluster_size"], r["n_clusters"])
+        for r in QUERIES["er04_incremental_clusters"].fn(spark, SF).collect()
+    }
+    from collections import Counter
+
+    member_counts = Counter(c for _, c in full_set)  # cluster -> size
+    expect = Counter(member_counts.values())         # size -> n_clusters
+    assert summary == {(s, n) for s, n in expect.items()}
