@@ -325,3 +325,157 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
     )
     return ivf_topk(e, F.col("vec_id") < 10, k=5, n_cells=16, n_probe=4)
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (sim04): the MEMORY-compression scale path.
+# IVF/LSH shrink the candidate COUNT; PQ shrinks the BYTES per
+# candidate — each vector is stored as m sub-space centroid ids
+# (m bytes at 256 centroids; here m x log2(n_centroids) bits), so the
+# approximate scan reads m bytes/vector instead of 8*dim. Jégou et al.,
+# "Product Quantization for Nearest Neighbor Search" (TPAMI'11).
+# Asymmetric distance (ADC): the QUERY stays exact; each sub-distance
+# is one table lookup.
+# ---------------------------------------------------------------------------
+
+def train_pq_codebooks(
+    vectors: np.ndarray, m: int = 16, n_centroids: int = 16,
+    iters: int = 12, seed: int = 0xC0DE,
+) -> np.ndarray:
+    """Per-subspace Lloyd k-means over a TRAINING SAMPLE. Returns
+    (m, n_centroids, dim//m). The codebook is a model artifact (a few
+    KB) trained on a driver-side sample — standard PQ practice, like
+    sim03's coarse quantizer; encoding/scanning stay distributed."""
+    n, dim = vectors.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, n_centroids, sub))
+    for j in range(m):
+        x = vectors[:, j * sub:(j + 1) * sub]
+        cent = x[rng.choice(n, size=n_centroids, replace=n < n_centroids)]
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(n_centroids):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = x[mask].mean(0)
+        books[j] = cent
+    return books
+
+
+def pq_topk(
+    e: DataFrame,
+    query_filter,
+    k: int = 5,
+    m: int = 16,
+    n_centroids: int = 16,
+    train_sample: int = 2048,
+    rerank: int = 64,
+    dim: int = 64,
+) -> DataFrame:
+    """PQ-ADC top-k: encode every vector to m centroid ids, scan the
+    compressed codes per query (approximate inner product = m table
+    lookups), keep the top-``rerank`` candidates, exact-cosine rerank
+    to top-``k``. Deterministic: seeded codebooks, id tie-breaks."""
+    from pyspark.sql import Window as W
+
+    spark = e.sparkSession
+    # normalized vectors: inner product == cosine, so ADC tables rank
+    # by cosine directly
+    norm = F.sqrt(_dot(F.col("emb"), F.col("emb")))
+    en = e.select(
+        "vec_id",
+        F.transform("emb", lambda x: F.coalesce(
+            F.try_divide(x, norm), F.lit(0.0))).alias("emb"),
+    )
+    # deterministic training sample (hash order, not data order)
+    sample_rows = (
+        en.orderBy(F.xxhash64("vec_id")).limit(train_sample).collect()
+    )
+    books = train_pq_codebooks(
+        np.stack([np.asarray(r["emb"]) for r in sample_rows]),
+        m=m, n_centroids=n_centroids,
+    )
+    b_books = spark.sparkContext.broadcast(books)
+    sub = dim // m
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(emb: pd.Series) -> pd.Series:
+        bk = b_books.value
+        mat = np.stack(emb.to_numpy())  # (batch, dim)
+        codes = np.empty((len(emb), m), dtype=np.int32)
+        for j in range(m):
+            x = mat[:, j * sub:(j + 1) * sub]
+            d2 = ((x[:, None, :] - bk[j][None, :, :]) ** 2).sum(-1)
+            codes[:, j] = d2.argmin(1)
+        return pd.Series(list(codes))
+
+    codes = en.select("vec_id", encode("emb").alias("codes"))
+    queries = en.filter(query_filter).select(
+        F.col("vec_id").alias("q_vec"), F.col("emb").alias("q_emb")
+    )
+    # ADC tables per query: tables[q][j, c] = <q_subj, centroid_jc>
+    q_rows = queries.collect()  # few rows by contract (same as sim01-03)
+    tables = {
+        r["q_vec"]: np.stack([
+            np.asarray(r["q_emb"])[j * sub:(j + 1) * sub] @ b_books.value[j].T
+            for j in range(m)
+        ])  # (m, n_centroids)
+        for r in q_rows
+    }
+    b_tables = spark.sparkContext.broadcast(tables)
+
+    @F.pandas_udf(T.DoubleType())
+    def adc(q_vec: pd.Series, code: pd.Series) -> pd.Series:
+        tb = b_tables.value
+        cm = np.stack(code.to_numpy())  # (batch, m)
+        out = np.empty(len(code))
+        qv = q_vec.to_numpy()
+        cols = np.arange(m)
+        for q in np.unique(qv):
+            mask = qv == q
+            out[mask] = tb[q][cols, cm[mask]].sum(1)
+        return pd.Series(out)
+
+    q_ids = queries.select("q_vec")
+    cand = (
+        codes.crossJoin(F.broadcast(q_ids))
+        .filter(F.col("vec_id") != F.col("q_vec"))
+        .withColumn("approx_ip", adc("q_vec", "codes"))
+    )
+    w = W.partitionBy("q_vec").orderBy(F.desc("approx_ip"), F.asc("vec_id"))
+    shortlist = (
+        cand.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= rerank)
+        .select("q_vec", F.col("vec_id").alias("n_vec"))
+    )
+    # exact rerank on the shortlist only
+    n_emb = en.select(F.col("vec_id").alias("n_vec"), F.col("emb").alias("n_emb"))
+    rer = (
+        shortlist.join(n_emb, "n_vec")
+        .join(F.broadcast(queries), "q_vec")
+        .withColumn("cos_raw", _cosine("q_emb", "n_emb"))
+    )
+    w2 = W.partitionBy("q_vec").orderBy(F.desc("cos_raw"), F.asc("n_vec"))
+    return (
+        rer.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .select("q_vec", "n_vec", F.round("cos_raw", 4).alias("cos"), "rnk")
+    )
+
+
+@register(
+    "sim04_pq_topk",
+    None,  # quantized — rows-only; recall vs sim01 asserted in tests
+    survey_ref="ANN memory-compression path: product quantization + "
+               "ADC scan + exact rerank (Jégou et al., TPAMI'11)",
+)
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    return pq_topk(e, F.col("vec_id") < 10)

@@ -447,3 +447,41 @@ def test_streaming_interval_join_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == batch == {(1, 10), (2, 11), (3, 13)}
+
+
+def test_pq_ann_recall_and_determinism(spark):
+    """PQ-ADC + exact rerank must recover most of the exact top-k, and
+    be bit-deterministic across runs (seeded codebooks, id ties)."""
+    from smaph_spark.ops.similarity import pq_topk
+    from smaph_spark.plans.star_queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    e = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
+    )
+    qf = F.col("vec_id") < 10
+    got = pq_topk(e, qf).collect()
+    exact = QUERIES["sim01_bruteforce_topk"].fn(spark, sf).collect()
+    got_set = {(r["q_vec"], r["n_vec"]) for r in got}
+    ex_set = {(r["q_vec"], r["n_vec"]) for r in exact}
+    assert len(got_set & ex_set) / len(ex_set) >= 0.8
+    again = {(r["q_vec"], r["n_vec"], r["cos"], r["rnk"]) for r in pq_topk(e, qf).collect()}
+    first = {(r["q_vec"], r["n_vec"], r["cos"], r["rnk"]) for r in got}
+    assert again == first
+
+
+def test_pq_codebooks_shape_and_validation():
+    import numpy as np
+    import pytest as _pytest
+
+    from smaph_spark.ops.similarity import train_pq_codebooks
+
+    rng = np.random.default_rng(1)
+    v = rng.standard_normal((200, 64))
+    books = train_pq_codebooks(v, m=16, n_centroids=16)
+    assert books.shape == (16, 16, 4)
+    # deterministic for fixed input + seed
+    assert (books == train_pq_codebooks(v, m=16, n_centroids=16)).all()
+    with _pytest.raises(ValueError, match="divisible"):
+        train_pq_codebooks(v, m=7)
