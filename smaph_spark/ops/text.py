@@ -495,3 +495,45 @@ def tx_doc_freq_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("idf"),
         )
     )
+
+
+#: GPT-2-style pre-tokenizer, ASCII-simplified so the Java (Spark) and
+#: RE2 (DuckDB) dialects agree exactly: contraction suffixes, space-
+#: prefixed letter runs, digit runs, punctuation runs, whitespace runs.
+#: (The production BPE pattern adds unicode classes; stray apostrophes
+#: are dropped by design here.)
+BPE_PRETOKEN_RE = r"'(?:s|t|d|m|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+_BPE_SQL = BPE_PRETOKEN_RE.replace("'", "''")  # SQL string-literal escape
+
+
+@register(
+    "tx11_bpe_token_stats",
+    rf"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_SQL}'))
+             AS n_tokens,
+           len(regexp_extract_all(text, ' ?[A-Za-z]+')) AS n_word_tokens,
+           len(regexp_extract_all(text, ' ?[0-9]+')) AS n_number_tokens
+    FROM documents
+    """,
+    survey_ref="BPE-ish regex token counting (beyond-reference "
+               "training-data op; the pre-tokenization pass of a BPE "
+               "tokenizer, X4-family)",
+)
+def tx_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget accounting the way an LLM data pipeline counts —
+    BPE PRE-tokens (contractions / word / number / punct / space runs),
+    not whitespace splits (tx01). Pure JVM regex projection: no
+    shuffle, no UDF, scales as a narrow map over the corpus."""
+    d = load(spark, sf_dir, "documents")
+    toks = lambda pat: F.size(  # noqa: E731
+        F.regexp_extract_all("text", F.lit(pat), 0)
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        toks(BPE_PRETOKEN_RE).alias("n_tokens"),
+        toks(r" ?[A-Za-z]+").alias("n_word_tokens"),
+        toks(r" ?[0-9]+").alias("n_number_tokens"),
+    )
