@@ -872,3 +872,48 @@ def q25(spark, sf_dir):
     ).select(
         "event_type", "h", "g_type", "g_hour", "n", "sum_value_cents"
     )
+
+
+# ---------------------------------------------------------------------------
+# Cascaded time rollup (q26): the hypertable / continuous-aggregate
+# pattern — DAILY aggregates computed FROM the hourly partials, not
+# from raw. At 100 TB the hourly materialization is the only scan of
+# the event stream; every coarser granularity re-aggregates the
+# (tiny) finer one. Correct because count/sum are mergeable; the
+# oracle computes daily straight from raw, proving partial
+# re-aggregation loses nothing.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q26_daily_from_hourly",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents
+    FROM events GROUP BY 1, 2
+    """,
+    survey_ref="hypertable rollup (beyond-reference: cascaded "
+               "multi-granularity aggregation from mergeable partials)",
+)
+def q26(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hour"),
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    hourly = ev.groupBy("hour", "event_type").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("sum_cents")
+    )
+    # daily = merge of hourly partials (never re-reads raw events)
+    return (
+        hourly.groupBy(
+            F.date_format(F.date_trunc("day", "hour"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_cents").alias("sum_value_cents"),
+        )
+    )
