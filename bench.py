@@ -39,6 +39,9 @@ HEADLINE = [
     "q23_price_quantiles",
     "q24_error_context_events",
     "q25_event_type_hour_cube",
+    "q26_daily_from_hourly",
+    "sim04_pq_topk",
+    "tx11_bpe_token_stats",
     "dd02_ngram_jaccard_pairs",
     "dd05_embedding_dup_pairs",
     "dd07_incremental_new_docs",
