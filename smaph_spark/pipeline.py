@@ -220,6 +220,7 @@ class ERPipeline:
         history_files: DataFrame,
         new_files: DataFrame,
         history_clusters: DataFrame,
+        history_normalized: DataFrame | None = None,
     ) -> PipelineResult:
         """Resolve a NEW batch against an already-resolved history —
         the production mode of a continuously-ingesting ER deployment.
@@ -235,18 +236,31 @@ class ERPipeline:
         ``history_clusters`` came from this pipeline (same config +
         scorer) over ``history_files``: scoring is deterministic, so a
         history-history pair that did not match before still would not
-        (equivalence pinned by tests/test_pipeline.py). Blocking stays
-        linear and is recomputed over the union here; at cluster scale
-        the history side's normalize/block snapshots (stages s1/s2 of
-        the history run) are the natural cache for it.
+        (equivalence pinned by tests/test_pipeline.py).
+
+        Pass ``history_normalized`` (the previous run's ``.normalized``
+        output, or its snapshot) to skip re-normalizing history — then
+        the expensive Arrow minhash/sha pass runs over the DELTA only
+        and every per-record stage is O(|delta|); without it, stage 1
+        re-reads all of history (blocking's key explode + shuffle is
+        over the union either way — at cluster scale that key table is
+        the thing to keep bucketed on disk between runs).
         """
         cfg = self.cfg
         files = history_files.unionByName(new_files)
         self._input_fp = self._input_fingerprint(files) + "-inc"
 
-        normalized = self._load_or_compute(
-            "s1_normalized", lambda: normalize_files(files, cfg).drop("content")
-        )
+        if history_normalized is not None:
+            new_norm = self._load_or_compute(
+                "s1_normalized",
+                lambda: normalize_files(new_files, cfg).drop("content"),
+            )
+            normalized = history_normalized.unionByName(new_norm)
+        else:
+            normalized = self._load_or_compute(
+                "s1_normalized",
+                lambda: normalize_files(files, cfg).drop("content"),
+            )
 
         def _blocks():
             blocks = generate_blocks(normalized, cfg)

@@ -264,3 +264,26 @@ def test_incremental_er_equals_full_batch(spark):
     )
     # and it did strictly less scoring work than the full run
     assert len(scored) < full.pairs_scored.count()
+
+
+def test_incremental_er_with_history_normalized(spark):
+    """Passing the history run's normalized output must skip
+    re-normalizing history (delta-only stage 1) and still produce the
+    exact full-batch clustering."""
+    files_pdf, _, _ = generate_files_corpus(n_clusters=50, seed=4242)
+    files = spark.createDataFrame(files_pdf)
+    bucket = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(5))
+    history, delta = files.filter(bucket < 4), files.filter(bucket >= 4)
+
+    full = ERPipeline(spark, ERConfig()).run(files)
+    hist_res = ERPipeline(spark, ERConfig()).run(history)
+    inc = ERPipeline(spark, ERConfig()).run_incremental(
+        history, delta, hist_res.clusters,
+        history_normalized=hist_res.normalized,
+    )
+    full_set = {(r["record_id"], r["cluster_id"]) for r in full.clusters.collect()}
+    inc_set = {(r["record_id"], r["cluster_id"]) for r in inc.clusters.collect()}
+    assert inc_set == full_set
+    # the normalized union really covers everything exactly once
+    assert inc.normalized.count() == files.count()
+    assert inc.normalized.select("record_id").distinct().count() == files.count()
