@@ -258,7 +258,10 @@ def er_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = replace(_DOC_CFG, match_threshold=threshold)
     hist_res = ERPipeline(spark, cfg, scorer_model=model).run(history)
     inc = ERPipeline(spark, cfg, scorer_model=model).run_incremental(
-        history, delta, hist_res.clusters
+        history, delta, hist_res.clusters,
+        # the production path: history's normalize output is reused,
+        # the Arrow minhash pass runs over the delta only
+        history_normalized=hist_res.normalized,
     )
     return (
         inc.clusters.groupBy("cluster_id")

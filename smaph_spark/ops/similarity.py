@@ -374,12 +374,13 @@ def pq_topk(
     n_centroids: int = 16,
     train_sample: int = 2048,
     rerank: int = 64,
-    dim: int = 64,
 ) -> DataFrame:
     """PQ-ADC top-k: encode every vector to m centroid ids, scan the
     compressed codes per query (approximate inner product = m table
     lookups), keep the top-``rerank`` candidates, exact-cosine rerank
-    to top-``k``. Deterministic: seeded codebooks, id tie-breaks."""
+    to top-``k``. Deterministic: seeded codebooks, id tie-breaks.
+    The embedding width is read from the training sample — no
+    hardcoded dim to fall out of sync with the data."""
     from pyspark.sql import Window as W
 
     spark = e.sparkSession
@@ -395,10 +396,9 @@ def pq_topk(
     sample_rows = (
         en.orderBy(F.xxhash64("vec_id")).limit(train_sample).collect()
     )
-    books = train_pq_codebooks(
-        np.stack([np.asarray(r["emb"]) for r in sample_rows]),
-        m=m, n_centroids=n_centroids,
-    )
+    train_mat = np.stack([np.asarray(r["emb"]) for r in sample_rows])
+    dim = train_mat.shape[1]  # actual data width, validated by m-check
+    books = train_pq_codebooks(train_mat, m=m, n_centroids=n_centroids)
     b_books = spark.sparkContext.broadcast(books)
     sub = dim // m
 

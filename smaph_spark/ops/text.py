@@ -502,7 +502,13 @@ def tx_doc_freq_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: prefixed letter runs, digit runs, punctuation runs, whitespace runs.
 #: (The production BPE pattern adds unicode classes; stray apostrophes
 #: are dropped by design here.)
-BPE_PRETOKEN_RE = r"'(?:s|t|d|m|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+#: whitespace as an EXPLICIT class, not \s: Java's \s includes \x0b,
+#: RE2's does not — the one place the dialects would diverge
+_WS = r"\t\n\x0b\f\r "
+BPE_PRETOKEN_RE = (
+    r"'(?:s|t|d|m|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+"
+    rf"| ?[^A-Za-z0-9{_WS}']+|[{_WS}]+"
+)
 
 
 _BPE_SQL = BPE_PRETOKEN_RE.replace("'", "''")  # SQL string-literal escape

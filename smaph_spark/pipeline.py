@@ -248,7 +248,11 @@ class ERPipeline:
         """
         cfg = self.cfg
         files = history_files.unionByName(new_files)
-        self._input_fp = self._input_fingerprint(files) + "-inc"
+        # the two modes snapshot DIFFERENT things under s1_normalized
+        # (delta-only vs full union) — the mode must be part of the
+        # snapshot key or one mode resumes the other's stage
+        mode = "-deltanorm" if history_normalized is not None else "-inc"
+        self._input_fp = self._input_fingerprint(files) + mode
 
         if history_normalized is not None:
             new_norm = self._load_or_compute(

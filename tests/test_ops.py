@@ -485,3 +485,42 @@ def test_pq_codebooks_shape_and_validation():
     assert (books == train_pq_codebooks(v, m=16, n_centroids=16)).all()
     with _pytest.raises(ValueError, match="divisible"):
         train_pq_codebooks(v, m=7)
+
+
+def test_bpe_pattern_vertical_tab_cross_engine(spark):
+    """Java's \\s includes \\x0b, RE2's does not — the explicit
+    whitespace class must keep both engines token-identical on
+    vertical-tab input."""
+    import duckdb
+
+    from smaph_spark.ops.text import BPE_PRETOKEN_RE
+
+    texts = ["a \x0b b", "x\x0by", "\x0b", "tab\there"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    srows = {
+        r["text"]: r["toks"]
+        for r in df.select(
+            "text",
+            F.regexp_extract_all("text", F.lit(BPE_PRETOKEN_RE), 0).alias("toks"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for t in texts:
+        d = con.execute(
+            "SELECT regexp_extract_all(?, ?)", [t, BPE_PRETOKEN_RE]
+        ).fetchone()[0]
+        assert srows[t] == d, (repr(t), srows[t], d)
+
+
+def test_pq_derives_dim_from_data(spark):
+    """Non-64-dim embeddings must work: dim comes from the sample."""
+    import numpy as np
+
+    from smaph_spark.ops.similarity import pq_topk
+
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.standard_normal(32).tolist()) for i in range(120)]
+    e = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    out = pq_topk(e, F.col("vec_id") < 3, k=3, m=8, train_sample=64, rerank=16)
+    got = out.collect()
+    assert len(got) == 9 and all(r["rnk"] <= 3 for r in got)

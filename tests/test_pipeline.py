@@ -287,3 +287,32 @@ def test_incremental_er_with_history_normalized(spark):
     # the normalized union really covers everything exactly once
     assert inc.normalized.count() == files.count()
     assert inc.normalized.select("record_id").distinct().count() == files.count()
+
+
+def test_incremental_modes_do_not_share_snapshots(spark, tmp_path):
+    """With checkpoint_dir set, the delta-only-normalize mode and the
+    full-union mode must not resume each other's s1 snapshot (they
+    cache different contents under the same stage name)."""
+    files_pdf, _, _ = generate_files_corpus(n_clusters=30, seed=9001)
+    files = spark.createDataFrame(files_pdf)
+    bucket = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(5))
+    history, delta = files.filter(bucket < 4), files.filter(bucket >= 4)
+    hist_res = ERPipeline(spark, ERConfig()).run(history)
+    ckpt = str(tmp_path)
+    n_total = files.count()
+
+    # union mode first: snapshots full-union normalization
+    p1 = ERPipeline(spark, ERConfig(), checkpoint_dir=ckpt)
+    r1 = p1.run_incremental(history, delta, hist_res.clusters)
+    # delta mode second: must NOT load the union snapshot as "delta"
+    p2 = ERPipeline(spark, ERConfig(), checkpoint_dir=ckpt)
+    r2 = p2.run_incremental(
+        history, delta, hist_res.clusters,
+        history_normalized=hist_res.normalized,
+    )
+    assert r1.normalized.count() == n_total
+    assert r2.normalized.count() == n_total  # no duplicated history
+    assert r2.normalized.select("record_id").distinct().count() == n_total
+    c1 = {(r["record_id"], r["cluster_id"]) for r in r1.clusters.collect()}
+    c2 = {(r["record_id"], r["cluster_id"]) for r in r2.clusters.collect()}
+    assert c1 == c2
