@@ -46,6 +46,21 @@ def asof_join(
     projects only asof_time, which is always deterministic).
     """
     payload_cols = payload_cols or []
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof_join: how must be 'inner' or 'left', got {how!r}")
+    # the output is *left.columns + payload columns under their original
+    # names — a collision would silently produce duplicate columns
+    collisions = set(payload_cols) & set(left.columns)
+    if collisions:
+        raise ValueError(
+            "asof_join: payload columns collide with left columns "
+            f"{sorted(collisions)}; alias them on the right side first"
+        )
+    if "asof_time" in left.columns or "asof_time" in payload_cols:
+        raise ValueError(
+            "asof_join: 'asof_time' is reserved for the output match "
+            "timestamp; rename the conflicting input column"
+        )
     # side marker orders same-timestamp rows: inclusive (>=) wants the
     # right row BEFORE the left row at equal t; strict (>) the reverse
     r_mark, l_mark = (0, 1) if not strict else (1, 0)

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from smaph_spark.config import ERConfig
+from smaph_spark.plans.star_queries import WS_RE
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
@@ -125,7 +126,7 @@ def normalize_files(files: DataFrame, cfg: ERConfig) -> DataFrame:
     """files(repo,path,commit,lang,content) -> + record_id, content_sha,
     name, n_chars, n_tokens, minhash, bands. Narrow (no shuffle)."""
     minhash_udf = make_minhash_udf(cfg)
-    norm_content = F.lower(F.regexp_replace(F.col("content"), r"\s+", " "))
+    norm_content = F.lower(F.regexp_replace(F.col("content"), WS_RE, " "))
     base = (
         files.withColumn("record_id", F.xxhash64("repo", "path", "commit"))
         .withColumn("content_sha", F.sha2(F.col("content"), 256))
@@ -135,7 +136,7 @@ def normalize_files(files: DataFrame, cfg: ERConfig) -> DataFrame:
             F.lower(F.regexp_replace(F.col("basename"), r"\.[A-Za-z0-9]+$", "")),
         )
         .withColumn("n_chars", F.length("content"))
-        .withColumn("n_tokens", F.size(F.split(F.trim(F.col("content")), r"\s+")))
+        .withColumn("n_tokens", F.size(F.split(F.trim(F.col("content")), WS_RE)))
         .withColumn("_fp", minhash_udf(norm_content))
         .withColumn("minhash", F.col("_fp.minhash"))
         .withColumn("bands", F.col("_fp.bands"))

@@ -23,7 +23,7 @@ from pyspark.sql import types as T
 from smaph_spark.config import ERConfig
 from smaph_spark.operators.blocking import cap_and_salt_blocks
 from smaph_spark.operators.normalize import make_minhash_udf
-from smaph_spark.plans.star_queries import load, register
+from smaph_spark.plans.star_queries import WS_RE, load, register
 
 
 _LOG = logging.getLogger("smaph_spark.dedup")
@@ -108,13 +108,13 @@ def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dd02_ngram_jaccard_pairs",
-    r"""
+    rf"""
     WITH t AS (
       SELECT doc_id, lang, source,
              list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
                             FOR i IN generate_series(1, greatest(len(toks)-2, 0))]) AS ngrams
       FROM (SELECT doc_id, lang, source,
-                   string_split_regex(trim(text), '\s+') AS toks
+                   string_split_regex(trim(text), '{WS_RE}') AS toks
             FROM documents WHERE length(trim(text)) > 0)
       WHERE len(toks) >= 3)
     SELECT a.doc_id AS a_doc, b.doc_id AS b_doc,
@@ -137,7 +137,7 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slower (the split re-ran per element_at inside the lambda)
     d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     t1 = d.select(
-        "doc_id", "lang", "source", F.split(F.trim("text"), r"\s+").alias("toks")
+        "doc_id", "lang", "source", F.split(F.trim("text"), WS_RE).alias("toks")
     ).filter(F.size("toks") >= 3)
     tc = F.col("toks")
     # hash n-grams to int64 in one pass: array_intersect on longs is
@@ -215,7 +215,7 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _doc_minhash(spark: SparkSession, sf_dir: str, cfg: ERConfig) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     mh = make_minhash_udf(cfg)
-    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    norm = F.lower(F.regexp_replace(F.col("text"), WS_RE, " "))
     return (
         d.filter(F.length(F.trim("text")) > 0)
         .withColumn("_fp", mh(norm))

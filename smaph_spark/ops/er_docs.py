@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from smaph_spark.config import ERConfig
 from smaph_spark.pipeline import ERPipeline
-from smaph_spark.plans.star_queries import load, register
+from smaph_spark.plans.star_queries import WS_RE, load, register
 
 _DOC_CFG = ERConfig(shingle_k=5, num_minhash=64, lsh_bands=16,
                     match_threshold=0.55)
@@ -135,10 +135,10 @@ def er_document_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: recursive label-min CTE on the DuckDB side. The graph chains across
 #: token counts, so components are multi-hop (real transitive closure,
 #: not cliques).
-_ER03_SQL = r"""
+_ER03_SQL = rf"""
     WITH RECURSIVE t AS (
       SELECT doc_id, lang, source,
-             len(string_split_regex(trim(text), '\s+')) AS n_toks
+             len(string_split_regex(trim(text), '{WS_RE}')) AS n_toks
       FROM documents WHERE length(trim(text)) > 0),
     edges AS (
       SELECT a.doc_id AS src, b.doc_id AS dst
@@ -172,7 +172,7 @@ def er_tokenband_graph_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     t = d.select(
         "doc_id", "lang", "source",
-        F.size(F.split(F.trim("text"), r"\s+")).alias("n_toks"),
+        F.size(F.split(F.trim("text"), WS_RE)).alias("n_toks"),
     )
     bucket = F.floor(F.col("n_toks") / 3)
     a = t.select(

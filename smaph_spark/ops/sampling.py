@@ -80,7 +80,10 @@ def stratified_sample(
     frac = F.lit(default)
     for k, v in fractions.items():
         frac = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(frac)
-    return df.filter(hash_bucket(F.col(id_col), 100) < (frac * 100).cast("long"))
+    # round, don't truncate: 0.29 * 100 is 28.999... in binary floating
+    # point and a bare cast('long') floors it to 28 (keeping 28% not 29%)
+    threshold = F.round(frac * 100).cast("long")
+    return df.filter(hash_bucket(F.col(id_col), 100) < threshold)
 
 
 @register(

@@ -14,10 +14,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from smaph_spark.plans.star_queries import load, register
+from smaph_spark.plans.star_queries import WS_CHARS, WS_RE, load, register
 
 # BPE-ish pre-tokenizer: word pieces OR single non-space symbols
-_BPE_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+# (explicit whitespace class — same Java-vs-RE2 \s dialect dodge)
+_BPE_RE = rf"[A-Za-z0-9]+|[^A-Za-z0-9{WS_CHARS}]"
 
 
 @register(
@@ -25,7 +26,7 @@ _BPE_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
     rf"""
     SELECT doc_id,
            CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws_tokens,
+                ELSE len(string_split_regex(trim(text), '{WS_RE}')) END AS n_ws_tokens,
            len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_tokens,
            length(text) AS n_chars_actual,
            length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
@@ -37,7 +38,7 @@ _BPE_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
 def tx_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     ws_tokens = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
-        F.size(F.split(F.trim("text"), r"\s+"))
+        F.size(F.split(F.trim("text"), WS_RE))
     )
     return d.select(
         "doc_id",
@@ -53,11 +54,11 @@ def tx_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tx02_quality_scores",
-    r"""
+    rf"""
     WITH t AS (
       SELECT doc_id, text, length(text) AS n,
              CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+                  ELSE len(string_split_regex(trim(text), '{WS_RE}')) END AS n_tok
       FROM documents)
     SELECT doc_id,
            ROUND(CASE WHEN n = 0 THEN 0.0
@@ -75,7 +76,7 @@ def tx_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     n = F.length("text")
     n_tok = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
-        F.size(F.split(F.trim("text"), r"\s+"))
+        F.size(F.split(F.trim("text"), WS_RE))
     )
     punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
     return d.select(
@@ -114,7 +115,7 @@ def _langid_sql() -> str:
     WITH t AS (
       SELECT doc_id,
              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                  ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+                  ELSE string_split_regex(lower(trim(text)), '{WS_RE}') END AS toks
       FROM documents),
     scores AS ({union})
     SELECT doc_id, cand_lang AS predicted_lang, hits FROM (
@@ -136,7 +137,7 @@ def tx_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     toks = F.when(
         F.length(F.trim("text")) == 0, F.array().cast("array<string>")
-    ).otherwise(F.split(F.lower(F.trim("text")), r"\s+"))
+    ).otherwise(F.split(F.lower(F.trim("text")), WS_RE))
     t = d.select("doc_id", toks.alias("toks"))
     parts = []
     for lang, words in sorted(_STOPWORDS.items()):
@@ -214,17 +215,17 @@ def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X15 bold statistics + X18 wiki-URL decode as driver queries
 # ---------------------------------------------------------------------------
 
-_TX05_SQL = r"""
+_TX05_SQL = rf"""
     WITH b AS (
       SELECT source AS query, doc_id % 3 AS rank,
-             array_to_string(string_split_regex(trim(text), '\s+')[1:4], ' ')
+             array_to_string(string_split_regex(trim(text), '{WS_RE}')[1:4], ' ')
                AS bold
       FROM documents WHERE length(trim(text)) > 0),
     ed AS (
       SELECT query, rank, bold,
-             [t FOR t IN string_split_regex(lower(query), '\s+') IF t != '']
+             [t FOR t IN string_split_regex(lower(query), '{WS_RE}') IF t != '']
                AS qt,
-             [t FOR t IN string_split_regex(lower(bold), '\s+') IF t != '']
+             [t FOR t IN string_split_regex(lower(bold), '{WS_RE}') IF t != '']
                AS bt
       FROM b),
     med AS (
@@ -267,7 +268,7 @@ def tx_bold_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("query"),
         (F.col("doc_id") % 3).alias("rank"),
         F.array_join(
-            F.slice(F.split(F.trim("text"), r"\s+"), 1, 4), " "
+            F.slice(F.split(F.trim("text"), WS_RE), 1, 4), " "
         ).alias("bold"),
     )
     out = bold_stats_per_rank(rows)
@@ -328,10 +329,10 @@ def tx_wiki_url_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TX07_SQL = r"""
+_TX07_SQL = rf"""
     WITH a AS (
       SELECT source AS segment,
-             string_split_regex(trim(text), '\s+')[1] AS anchor,
+             string_split_regex(trim(text), '{WS_RE}')[1] AS anchor,
              (doc_id % 5) + 1 AS occurrences
       FROM documents WHERE length(trim(text)) > 0),
     d AS (
@@ -365,7 +366,7 @@ def tx_weighted_anchor_ed(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     rows = d.select(
         F.col("source").alias("segment"),
-        F.element_at(F.split(F.trim("text"), r"\s+"), 1).alias("anchor"),
+        F.element_at(F.split(F.trim("text"), WS_RE), 1).alias("anchor"),
         ((F.col("doc_id") % 5) + 1).alias("occurrences"),
     )
     out = weighted_anchor_ed(rows)
@@ -392,7 +393,7 @@ def tx_bold_fragmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     bolds = d.select(
         "doc_id", "source",
-        F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 1, 3), " ")
+        F.array_join(F.slice(F.split(F.trim("text"), WS_RE), 1, 3), " ")
         .alias("bold"),
     )
     groups = bolds.groupBy("source").agg(
@@ -410,10 +411,10 @@ def tx_bold_fragmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tx09_top_terms_per_lang",
-    r"""
+    rf"""
     WITH toks AS (
       SELECT lang,
-             unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+             unnest(string_split_regex(lower(trim(text)), '{WS_RE}')) AS tok
       FROM documents WHERE length(trim(text)) > 0),
     counts AS (
       SELECT lang, tok, COUNT(*) AS n
@@ -439,7 +440,7 @@ def tx_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     toks = d.select(
         "lang",
-        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+        F.explode(F.split(F.lower(F.trim("text")), WS_RE)).alias("tok"),
     ).filter(F.length("tok") > 0)
     counts = toks.groupBy("lang", "tok").agg(F.count("*").alias("n"))
     w = W.partitionBy("lang").orderBy(F.desc("n"), F.asc("tok"))
@@ -452,10 +453,10 @@ def tx_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tx10_doc_freq_idf",
-    r"""
+    rf"""
     WITH doc_toks AS (
       SELECT DISTINCT doc_id,
-             unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+             unnest(string_split_regex(lower(trim(text)), '{WS_RE}')) AS tok
       FROM documents WHERE length(trim(text)) > 0),
     df AS (
       SELECT tok, COUNT(*) AS doc_freq
@@ -480,7 +481,7 @@ def tx_doc_freq_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     doc_toks = d.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+        F.explode(F.split(F.lower(F.trim("text")), WS_RE)).alias("tok"),
     ).filter(F.length("tok") > 0).distinct()
     df_counts = doc_toks.groupBy("tok").agg(F.count("*").alias("doc_freq"))
     n_docs = d.agg(F.count("*").alias("n_docs"))
@@ -503,8 +504,9 @@ def tx_doc_freq_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (The production BPE pattern adds unicode classes; stray apostrophes
 #: are dropped by design here.)
 #: whitespace as an EXPLICIT class, not \s: Java's \s includes \x0b,
-#: RE2's does not — the one place the dialects would diverge
-_WS = r"\t\n\x0b\f\r "
+#: RE2's does not — shared with every tokenizing query via
+#: star_queries.WS_CHARS/WS_RE
+_WS = WS_CHARS
 BPE_PRETOKEN_RE = (
     r"'(?:s|t|d|m|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+"
     rf"| ?[^A-Za-z0-9{_WS}']+|[{_WS}]+"

@@ -236,7 +236,13 @@ class ERPipeline:
         ``history_clusters`` came from this pipeline (same config +
         scorer) over ``history_files``: scoring is deterministic, so a
         history-history pair that did not match before still would not
-        (equivalence pinned by tests/test_pipeline.py).
+        (equivalence pinned by tests/test_pipeline.py). Caveat: block
+        capping/salting runs over the UNION, so the equivalence holds
+        exactly only when the delta does not change any block's
+        cap/salt decision — a delta that pushes a block over
+        ``max_block_size`` drops or re-salts history-history pairs the
+        history-only run had scored (and vice versa). With capping
+        effectively disabled (large ``max_block_size``) it is exact.
 
         Pass ``history_normalized`` (the previous run's ``.normalized``
         output, or its snapshot) to skip re-normalizing history — then
@@ -250,9 +256,17 @@ class ERPipeline:
         files = history_files.unionByName(new_files)
         # the two modes snapshot DIFFERENT things under s1_normalized
         # (delta-only vs full union) — the mode must be part of the
-        # snapshot key or one mode resumes the other's stage
+        # snapshot key or one mode resumes the other's stage. The
+        # history/delta SPLIT must be in the key too: two runs over the
+        # same union but different splits produce different
+        # s3_pairs_scored (delta-touching pairs only) and, in
+        # -deltanorm mode, different s1_normalized (delta-only rows)
         mode = "-deltanorm" if history_normalized is not None else "-inc"
-        self._input_fp = self._input_fingerprint(files) + mode
+        self._input_fp = (
+            self._input_fingerprint(files)
+            + "-new" + self._input_fingerprint(new_files)
+            + mode
+        )
 
         if history_normalized is not None:
             new_norm = self._load_or_compute(

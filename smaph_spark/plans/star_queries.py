@@ -31,6 +31,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+#: Whitespace for token-split regexes as an EXPLICIT class, never \s:
+#: Java's \s (Spark) includes \x0b, RE2's (DuckDB) does not — a document
+#: containing a vertical tab would silently break oracle parity. Shared
+#: by every tokenizing query in BOTH dialects (round-3 ADVICE).
+WS_CHARS = r"\t\n\x0b\f\r "
+WS_RE = rf"[{WS_CHARS}]+"
+
 QUERIES: dict[str, QuerySpec] = {}
 
 

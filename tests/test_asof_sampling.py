@@ -201,3 +201,44 @@ def test_asof_payload_named_time(spark):
         payload_cols=["_time"],
     ).collect()
     assert rows[0]["asof_time"] == 10 and rows[0]["_time"] == 7
+
+
+def test_asof_rejects_collisions_and_bad_how(spark):
+    """Round-3 ADVICE: payload/left name collisions silently produced
+    duplicate output columns, and unknown `how` values silently behaved
+    as 'left' — both must raise."""
+    import pytest
+
+    left = spark.createDataFrame([(1, "k", 20)], "event_id long, k string, t long")
+    right = spark.createDataFrame(
+        [("k", 10, 1.0)], "k string, rt long, event_id double"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="k", left_time="t", right_time="rt",
+                  payload_cols=["event_id"])
+    right2 = spark.createDataFrame([("k", 10, 1.0)], "k string, rt long, price double")
+    with pytest.raises(ValueError, match="how"):
+        asof_join(left, right2, on="k", left_time="t", right_time="rt",
+                  payload_cols=["price"], how="outer")
+    left2 = spark.createDataFrame(
+        [(1, "k", 20, 5)], "event_id long, k string, t long, asof_time long"
+    )
+    with pytest.raises(ValueError, match="asof_time"):
+        asof_join(left2, right2, on="k", left_time="t", right_time="rt",
+                  payload_cols=["price"])
+
+
+def test_stratified_sample_fraction_not_truncated(spark):
+    """Round-3 ADVICE: 0.29 * 100 floats to 28.999..., a bare
+    cast('long') floored it to 28 — the threshold must round to 29."""
+    from smaph_spark.ops.sampling import hash_bucket, stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "en") for i in range(2000)], "doc_id long, lang string"
+    )
+    kept = stratified_sample(df, "doc_id", "lang", {"en": 0.29})
+    expected = df.filter(hash_bucket(F.col("doc_id"), 100) < 29)
+    assert kept.count() == expected.count()
+    got = {r["doc_id"] for r in kept.collect()}
+    want = {r["doc_id"] for r in expected.collect()}
+    assert got == want

@@ -512,6 +512,30 @@ def test_bpe_pattern_vertical_tab_cross_engine(spark):
         assert srows[t] == d, (repr(t), srows[t], d)
 
 
+def test_ws_token_split_vertical_tab_cross_engine(spark):
+    """Round-3 ADVICE: every token-split regex (tx01-tx10, dd02, er03)
+    shares the explicit whitespace class; both engines must split a
+    vertical-tab document identically."""
+    import duckdb
+
+    from smaph_spark.plans.star_queries import WS_RE
+
+    texts = ["a\x0bb c", "x\x0b\x0by", "plain words", "tab\there\nline"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    srows = {
+        r["text"]: r["toks"]
+        for r in df.select(
+            "text", F.split(F.trim("text"), WS_RE).alias("toks")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for t in texts:
+        d = con.execute(
+            "SELECT string_split_regex(trim(?), ?)", [t, WS_RE]
+        ).fetchone()[0]
+        assert srows[t] == d, (repr(t), srows[t], d)
+
+
 def test_pq_derives_dim_from_data(spark):
     """Non-64-dim embeddings must work: dim comes from the sample."""
     import numpy as np

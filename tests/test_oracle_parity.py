@@ -41,3 +41,22 @@ def test_contract_shape():
 def test_entry_runs(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_oracle_paired_queries_inside_driver_window():
+    """Round-3 VERDICT item 1/9: the driver's correctness harness only
+    records the first 50 queries in queries() order — every
+    oracle-paired query must sit inside that window (rows-only queries,
+    pytest-pinned, absorb the cutoff)."""
+    q_names = list(entry_mod.queries())
+    oracle = set(entry_mod.oracle_sql())
+    window = entry_mod._DRIVER_WINDOW
+    outside = [n for n in q_names[window:] if n in oracle]
+    assert outside == [], (
+        f"oracle-paired queries past the driver's {window}-row window: "
+        f"{outside}"
+    )
+    # the window itself must not silently shrink below the paired count
+    assert len(oracle) <= window
+    # and queries()/oracle_sql() agree on the pairing
+    assert oracle == {n for n, s in QUERIES.items() if s.sql is not None}

@@ -316,3 +316,36 @@ def test_incremental_modes_do_not_share_snapshots(spark, tmp_path):
     c1 = {(r["record_id"], r["cluster_id"]) for r in r1.clusters.collect()}
     c2 = {(r["record_id"], r["cluster_id"]) for r in r2.clusters.collect()}
     assert c1 == c2
+
+
+def test_incremental_splits_do_not_share_snapshots(spark, tmp_path):
+    """Round-3 ADVICE (medium): two incremental runs over the SAME total
+    corpus but a DIFFERENT history/delta split cache different
+    s3_pairs_scored (delta-touching pairs only) — the split must be part
+    of the snapshot key or the second run silently resumes the first's
+    pair scores."""
+    files_pdf, _, _ = generate_files_corpus(n_clusters=30, seed=31337)
+    files = spark.createDataFrame(files_pdf)
+    bucket = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(5))
+    split_a = (files.filter(bucket < 4), files.filter(bucket >= 4))
+    split_b = (files.filter(bucket < 2), files.filter(bucket >= 2))
+    ckpt = str(tmp_path)
+
+    results = []
+    for history, delta in (split_a, split_b):
+        hist_res = ERPipeline(spark, ERConfig()).run(history)
+        p = ERPipeline(spark, ERConfig(), checkpoint_dir=ckpt)
+        r = p.run_incremental(history, delta, hist_res.clusters)
+        # the run must have computed its own pair scores, not resumed
+        # the other split's snapshot
+        assert not p._metrics["s3_pairs_scored"].get("resumed_from_snapshot")
+        results.append(r)
+
+    # both splits converge to the same clustering (the invariant), but
+    # their scored-pair sets differ — the thing the key must separate
+    pairs_a = {(r["left_id"], r["right_id"]) for r in results[0].pairs_scored.select("left_id", "right_id").collect()}
+    pairs_b = {(r["left_id"], r["right_id"]) for r in results[1].pairs_scored.select("left_id", "right_id").collect()}
+    assert pairs_a != pairs_b
+    c1 = {(r["record_id"], r["cluster_id"]) for r in results[0].clusters.collect()}
+    c2 = {(r["record_id"], r["cluster_id"]) for r in results[1].clusters.collect()}
+    assert c1 == c2
