@@ -243,11 +243,16 @@ def er_document_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="incremental ER over documents: delta batch (ds01 hash "
                "bucket >= 8) resolved against the resolved 80% history "
                "via ERPipeline.run_incremental — the production ingest "
-               "mode; scores only delta-touching pairs",
+               "mode; scores only delta-touching pairs "
+               "(GreedyLinkback.java:49-87 assembly analogue)",
 )
 def er_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster summary after incrementally folding the 20% delta into
-    the resolved 80% history (same split recipe as ds01/dd07)."""
+    """Membership-level clusters after incrementally folding the 20%
+    delta into the resolved 80% history (same split recipe as
+    ds01/dd07). Emits (canonical_doc, cluster_size, member_docs) like
+    er01 — a membership regression anywhere in the incremental path
+    changes this output, where the earlier size histogram only caught
+    shifts in the size distribution (round-3 VERDICT item 2)."""
     from smaph_spark.ops.sampling import hash_bucket
 
     files = documents_as_files(spark, sf_dir)
@@ -263,10 +268,21 @@ def er_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the Arrow minhash pass runs over the delta only
         history_normalized=hist_res.normalized,
     )
+    id_map = files.select(
+        F.xxhash64("repo", "path", "commit").alias("record_id"), "doc_id"
+    )
     return (
-        inc.clusters.groupBy("cluster_id")
-        .agg(F.count("*").alias("cluster_size"))
-        .groupBy("cluster_size")
-        .agg(F.count("*").alias("n_clusters"))
-        .orderBy("cluster_size")
+        inc.clusters.join(id_map, "record_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.min("doc_id").alias("canonical_doc"),
+            # comma-joined string, not array<long>: the driver's
+            # canonicalizer sorts rows pandas-side and lists are
+            # unhashable there (same pattern as er01)
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")), ","
+            ).alias("member_docs"),
+        )
+        .select("canonical_doc", "cluster_size", "member_docs")
     )

@@ -1,0 +1,114 @@
+"""Driver-gate Structured Streaming queries (round-3 VERDICT item 3).
+
+The four streaming operators in smaph_spark/streaming/windows.py were
+previously proven only by pytest stream≡batch tests; nothing at the
+driver's correctness gate actually executed the streaming engine. These
+two queries close that: each runs a real `readStream → transform →
+writeStream` job (availableNow trigger, memory sink) inside the query
+callable and returns the sink contents as the DataFrame the driver
+hashes against a DuckDB oracle.
+
+Determinism at the gate:
+- st01 (exact dedup): `dropDuplicatesWithinWatermark` keeps an
+  arbitrary first-seen row per hash, so the query projects ONLY the
+  hash column — the emitted *set* of distinct hashes is deterministic
+  (one row per hash, watermark sized past the whole event-time range).
+- st02 (windowed counts): append mode would hold back the last open
+  window; `complete` output mode re-emits the full aggregation state,
+  which on a bounded input equals the batch q19 result exactly.
+
+The parquet file-stream source requires a DIRECTORY; the driver tables
+are single files, so inputs are staged once per (session, sf_dir):
+events via symlink, documents via one tiny write that also adds the
+event-time column the dedup state store keys its watermark on
+(ts = fixed epoch + doc_id seconds — derived, deterministic, and
+irrelevant to the projected output).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from itertools import count
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from smaph_spark.plans.star_queries import QUERIES, load, register
+from smaph_spark.streaming.windows import (
+    run_to_memory,
+    streaming_exact_dedup,
+    streaming_hourly_event_counts,
+)
+
+#: staged source dirs keyed by (applicationId, sf_dir, kind): staging
+#: happens once per session; cached DataFrames/paths die with the app
+_STAGE_CACHE: dict[tuple, str] = {}
+#: memory-sink names must be unique per invocation within a session
+_SINK_IDS = count()
+
+
+def _staged_documents_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), "docs")
+    if key not in _STAGE_CACHE:
+        stage = tempfile.mkdtemp(prefix="smaph_st01_docs_")
+        load(spark, sf_dir, "documents").select(
+            "doc_id",
+            "text",
+            (
+                F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+                + F.make_interval(secs=F.col("doc_id").cast("double"))
+            ).alias("ts"),
+        ).write.mode("overwrite").parquet(stage)
+        _STAGE_CACHE[key] = stage
+    return _STAGE_CACHE[key]
+
+
+def _staged_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), "events")
+    if key not in _STAGE_CACHE:
+        stage = tempfile.mkdtemp(prefix="smaph_st02_events_")
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(stage, "events.parquet"),
+        )
+        _STAGE_CACHE[key] = stage
+    return _STAGE_CACHE[key]
+
+
+@register(
+    "st01_streaming_exact_dedup",
+    """
+    SELECT DISTINCT md5(coalesce(text, '')) AS text_md5 FROM documents
+    """,
+    survey_ref="§2.9 streaming recast at the driver gate: dd01's "
+               "streaming twin (dropDuplicatesWithinWatermark state "
+               "store), watermark past the event-time range so the "
+               "emitted hash set is exactly DISTINCT",
+)
+def st_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _staged_documents_dir(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    # ts spans |docs| seconds; "3650 days" keeps every hash's dedup
+    # state live for the whole bounded run — exact DISTINCT semantics.
+    # (Production tuning trades that horizon for bounded state.)
+    stream = streaming_exact_dedup(spark, src, schema, watermark="3650 days")
+    name = f"st01_sink_{next(_SINK_IDS)}"
+    run_to_memory(stream, name)
+    return spark.table(name).select("text_md5")
+
+
+@register(
+    "st02_streaming_hourly_counts",
+    QUERIES["q19_hourly_event_counts"].sql,
+    survey_ref="§2.9 streaming recast at the driver gate: q19's "
+               "streaming twin (watermark + tumbling window), complete "
+               "output mode == batch on bounded input",
+)
+def st_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _staged_events_dir(spark, sf_dir)
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = streaming_hourly_event_counts(spark, src, schema)
+    name = f"st02_sink_{next(_SINK_IDS)}"
+    run_to_memory(stream, name, output_mode="complete")
+    return spark.table(name).select("hour_start", "event_type", "n", "sum_value")

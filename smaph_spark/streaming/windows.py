@@ -36,11 +36,16 @@ def streaming_hourly_event_counts(
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str) -> None:
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "append"
+) -> None:
     """Drive the streaming query over all currently-available input and
-    stop (append mode; watermark finalizes closed windows)."""
+    stop. ``append`` emits watermark-finalized rows only; ``complete``
+    re-emits the full aggregation state each trigger — on a bounded
+    input that makes a windowed agg equal its batch twin exactly (the
+    driver-gate parity mode, st02)."""
     q = (
-        stream_df.writeStream.outputMode("append")
+        stream_df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)

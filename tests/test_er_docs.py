@@ -156,12 +156,15 @@ def test_er04_incremental_equals_full_flagship(spark):
     inc_set = {(r["record_id"], r["cluster_id"]) for r in inc.clusters.collect()}
     assert inc_set == full_set
 
-    summary = {
-        (r["cluster_size"], r["n_clusters"])
+    # er04 emits membership-level rows (round-3 VERDICT item 2): they
+    # must be EXACTLY er01's — the incremental path resolves the same
+    # corpus, so canonical docs, sizes, and member lists all agree
+    er04_rows = {
+        (r["canonical_doc"], r["cluster_size"], r["member_docs"])
         for r in QUERIES["er04_incremental_clusters"].fn(spark, SF).collect()
     }
-    from collections import Counter
-
-    member_counts = Counter(c for _, c in full_set)  # cluster -> size
-    expect = Counter(member_counts.values())         # size -> n_clusters
-    assert summary == {(s, n) for s, n in expect.items()}
+    er01_rows = {
+        (r["canonical_doc"], r["cluster_size"], r["member_docs"])
+        for r in QUERIES["er01_document_clusters"].fn(spark, SF).collect()
+    }
+    assert er04_rows == er01_rows
