@@ -8,7 +8,9 @@ exact baseline is asserted in tests).
 
 from __future__ import annotations
 
+import json
 import logging
+import os
 
 import numpy as np
 import pandas as pd
@@ -17,6 +19,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from smaph_spark.plans.star_queries import load, register
+
+#: committed PQ-codebook artifact (scripts/train_pq_codebook.py
+#: regenerates) — same model-artifact treatment as the GBT scorer
+PQ_MODEL_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "models", "pq_codebook",
+)
 
 
 def _dot(x, y):
@@ -271,6 +280,8 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     seed: int = 7,
+    log_scan_metrics: bool = True,
+    metrics_key: str = "sim03_ivf_topk",
 ) -> DataFrame:
     """IVF-style ANN: every vector lives in ONE cell (nearest
     centroid); a query probes its `n_probe` nearest cells and exact-
@@ -303,14 +314,36 @@ def ivf_topk(
             "cell",
         )
         .filter(F.col("q_vec") != F.col("n_vec"))
-        .withColumn("cos_raw", _cosine("q_emb", "n_emb"))
     )
+    if log_scan_metrics:
+        cand = cand.persist()
+    scored = cand.withColumn("cos_raw", _cosine("q_emb", "n_emb"))
     w = W.partitionBy("q_vec").orderBy(F.desc("cos_raw"), F.asc("n_vec"))
-    return (
-        cand.withColumn("rnk", F.row_number().over(w))
+    result = (
+        scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("q_vec", "n_vec", F.round("cos_raw", 4).alias("cos"), "rnk")
     )
+    if log_scan_metrics:
+        # no-silent-caps (round-3 VERDICT item 5): the probed fraction
+        # IS the speed/recall trade — record it like sim02 does
+        n_cand = cand.count()
+        n_q = e.filter(query_filter).count()
+        n_vecs = e.count()
+        frac = n_cand / max(n_q * (n_vecs - 1), 1)
+        SCAN_METRICS[metrics_key] = {
+            "candidates": n_cand, "queries": n_q, "vectors": n_vecs,
+            "n_cells": n_cells, "n_probe": n_probe,
+            "probed_cell_fraction": round(n_probe / n_cells, 4),
+            "scan_fraction": round(frac, 4),
+        }
+        _LOG.info(
+            "%s IVF scan: %d candidates (%.4f of all pairs), probing "
+            "%d/%d cells", metrics_key, n_cand, frac, n_probe, n_cells,
+        )
+        result = result.localCheckpoint(eager=True)
+        cand.unpersist()
+    return result
 
 
 @register(
@@ -366,6 +399,54 @@ def train_pq_codebooks(
     return books
 
 
+def save_pq_codebooks(books: np.ndarray, path: str) -> None:
+    """Persist the trained codebooks + a fingerprint sidecar (the same
+    artifact treatment as the GBT scorer, model_io.save_scorer): a
+    loader can verify (m, n_centroids, dim) BEFORE committing to the
+    load, so a codebook trained for different-shaped embeddings is
+    detected, never silently applied."""
+    os.makedirs(path, exist_ok=True)
+    np.save(os.path.join(path, "codebooks.npy"), books)
+    m, n_centroids, sub = books.shape
+    meta = {
+        "format": 1,
+        "m": int(m),
+        "n_centroids": int(n_centroids),
+        "sub": int(sub),
+        "dim": int(m * sub),
+    }
+    with open(os.path.join(path, "pq_meta.json"), "w") as fh:
+        json.dump(meta, fh, indent=1, sort_keys=True)
+
+
+def load_pq_codebooks(
+    path: str, m: int, n_centroids: int, dim: int
+) -> np.ndarray | None:
+    """Load the codebook artifact iff its fingerprint matches the
+    requested (m, n_centroids, dim); None on missing/mismatched
+    artifact (caller retrains)."""
+    meta_path = os.path.join(path, "pq_meta.json")
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    if (meta.get("m"), meta.get("n_centroids"), meta.get("dim")) != (
+        m, n_centroids, dim,
+    ):
+        _LOG.info(
+            "PQ codebook fingerprint mismatch at %s: artifact "
+            "(m=%s, n_centroids=%s, dim=%s) vs requested "
+            "(m=%d, n_centroids=%d, dim=%d) — retraining",
+            path, meta.get("m"), meta.get("n_centroids"), meta.get("dim"),
+            m, n_centroids, dim,
+        )
+        return None
+    books = np.load(os.path.join(path, "codebooks.npy"))
+    if books.shape != (m, n_centroids, dim // m):
+        return None
+    return books
+
+
 def pq_topk(
     e: DataFrame,
     query_filter,
@@ -374,13 +455,23 @@ def pq_topk(
     n_centroids: int = 16,
     train_sample: int = 2048,
     rerank: int = 64,
+    codebook_path: str | None = None,
+    log_scan_metrics: bool = True,
+    metrics_key: str = "sim04_pq_topk",
 ) -> DataFrame:
     """PQ-ADC top-k: encode every vector to m centroid ids, scan the
     compressed codes per query (approximate inner product = m table
     lookups), keep the top-``rerank`` candidates, exact-cosine rerank
     to top-``k``. Deterministic: seeded codebooks, id tie-breaks.
-    The embedding width is read from the training sample — no
-    hardcoded dim to fall out of sync with the data."""
+    The embedding width is read from the data — no hardcoded dim to
+    fall out of sync.
+
+    ``codebook_path``: load the codebooks from this artifact directory
+    when its (m, n_centroids, dim) fingerprint matches — skipping the
+    per-call training sample + Lloyd fit (round-3 VERDICT item 4: the
+    codebook is a model artifact like the GBT scorer, not a per-query
+    cost). On mismatch/missing artifact the codebooks are retrained
+    from a deterministic sample and re-saved best-effort."""
     from pyspark.sql import Window as W
 
     spark = e.sparkSession
@@ -392,13 +483,31 @@ def pq_topk(
         F.transform("emb", lambda x: F.coalesce(
             F.try_divide(x, norm), F.lit(0.0))).alias("emb"),
     )
-    # deterministic training sample (hash order, not data order)
-    sample_rows = (
-        en.orderBy(F.xxhash64("vec_id")).limit(train_sample).collect()
-    )
-    train_mat = np.stack([np.asarray(r["emb"]) for r in sample_rows])
-    dim = train_mat.shape[1]  # actual data width, validated by m-check
-    books = train_pq_codebooks(train_mat, m=m, n_centroids=n_centroids)
+    books = None
+    codebook_source = "trained"
+    if codebook_path is not None:
+        # one-row probe for the data width — enough to fingerprint-check
+        # the artifact without collecting the training sample
+        first = en.select(F.size("emb").alias("d")).first()
+        if first is not None:
+            books = load_pq_codebooks(
+                codebook_path, m=m, n_centroids=n_centroids, dim=int(first["d"])
+            )
+            if books is not None:
+                codebook_source = "artifact"
+    if books is None:
+        # deterministic training sample (hash order, not data order)
+        sample_rows = (
+            en.orderBy(F.xxhash64("vec_id")).limit(train_sample).collect()
+        )
+        train_mat = np.stack([np.asarray(r["emb"]) for r in sample_rows])
+        books = train_pq_codebooks(train_mat, m=m, n_centroids=n_centroids)
+        if codebook_path is not None:
+            try:
+                save_pq_codebooks(books, codebook_path)
+            except OSError:
+                pass  # read-only checkout: keep the in-memory codebooks
+    dim = books.shape[0] * books.shape[2]
     b_books = spark.sparkContext.broadcast(books)
     sub = dim // m
 
@@ -460,11 +569,32 @@ def pq_topk(
         .withColumn("cos_raw", _cosine("q_emb", "n_emb"))
     )
     w2 = W.partitionBy("q_vec").orderBy(F.desc("cos_raw"), F.asc("n_vec"))
-    return (
+    result = (
         rer.withColumn("rnk", F.row_number().over(w2))
         .filter(F.col("rnk") <= k)
         .select("q_vec", "n_vec", F.round("cos_raw", 4).alias("cos"), "rnk")
     )
+    if log_scan_metrics:
+        # no-silent-caps (round-3 VERDICT item 5): the PQ scan touches
+        # EVERY code (scan_fraction 1.0 by design) but at m sub-byte
+        # lookups per vector instead of 8*dim bytes; the shortlist cap
+        # bounds what reaches the exact rerank
+        n_vecs = e.count()
+        code_bits = m * max(int(np.ceil(np.log2(n_centroids))), 1)
+        SCAN_METRICS[metrics_key] = {
+            "queries": len(q_rows), "vectors": n_vecs,
+            "scan_fraction": 1.0, "rerank_shortlist": rerank,
+            "code_bits_per_vector": code_bits,
+            "compression_ratio": round(dim * 64 / code_bits, 1),
+            "codebook_source": codebook_source,
+        }
+        _LOG.info(
+            "%s PQ-ADC scan: %d codes x %d queries at %d bits/vector "
+            "(%.0fx compression), rerank shortlist %d, codebooks %s",
+            metrics_key, n_vecs, len(q_rows), code_bits,
+            dim * 64 / code_bits, rerank, codebook_source,
+        )
+    return result
 
 
 @register(
@@ -478,4 +608,4 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
     )
-    return pq_topk(e, F.col("vec_id") < 10)
+    return pq_topk(e, F.col("vec_id") < 10, codebook_path=PQ_MODEL_PATH)

@@ -548,3 +548,63 @@ def test_pq_derives_dim_from_data(spark):
     out = pq_topk(e, F.col("vec_id") < 3, k=3, m=8, train_sample=64, rerank=16)
     got = out.collect()
     assert len(got) == 9 and all(r["rnk"] <= 3 for r in got)
+
+
+def test_pq_codebook_artifact_roundtrip_and_mismatch_retrain(spark, tmp_path):
+    """Round-3 VERDICT item 4: the PQ codebook is a model artifact —
+    loaded when the (m, n_centroids, dim) fingerprint matches, retrained
+    (and re-saved) when it does not."""
+    import numpy as np
+
+    from smaph_spark.ops.similarity import (
+        SCAN_METRICS, load_pq_codebooks, pq_topk, save_pq_codebooks,
+        train_pq_codebooks,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.standard_normal(64).tolist()) for i in range(200)]
+    e = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    path = str(tmp_path / "pq")
+
+    # 1) first call: no artifact -> trains and saves
+    out1 = pq_topk(e, F.col("vec_id") < 3, k=3, codebook_path=path,
+                   metrics_key="pqtest").collect()
+    assert SCAN_METRICS["pqtest"]["codebook_source"] == "trained"
+    assert load_pq_codebooks(path, m=16, n_centroids=16, dim=64) is not None
+
+    # 2) second call: fingerprint matches -> loads the artifact,
+    #    result identical (codebooks are deterministic either way)
+    out2 = pq_topk(e, F.col("vec_id") < 3, k=3, codebook_path=path,
+                   metrics_key="pqtest").collect()
+    assert SCAN_METRICS["pqtest"]["codebook_source"] == "artifact"
+    key = lambda rs: sorted((r["q_vec"], r["n_vec"], r["rnk"]) for r in rs)  # noqa: E731
+    assert key(out1) == key(out2)
+
+    # 3) mismatched artifact (wrong dim) -> refuses the load, retrains
+    wrong = train_pq_codebooks(rng.standard_normal((100, 32)), m=16, n_centroids=16)
+    save_pq_codebooks(wrong, path)
+    assert load_pq_codebooks(path, m=16, n_centroids=16, dim=64) is None
+    pq_topk(e, F.col("vec_id") < 3, k=3, codebook_path=path,
+            metrics_key="pqtest").collect()
+    assert SCAN_METRICS["pqtest"]["codebook_source"] == "trained"
+    # and the retrain re-saved a matching artifact
+    assert load_pq_codebooks(path, m=16, n_centroids=16, dim=64) is not None
+
+
+def test_sim03_sim04_scan_metrics_populated(spark):
+    """Round-3 VERDICT item 5: sim03/sim04 must record their
+    candidate-scan stats in SCAN_METRICS like sim02 (no silent caps)."""
+    from smaph_spark.ops.similarity import SCAN_METRICS
+    from smaph_spark.plans.star_queries import QUERIES
+
+    SCAN_METRICS.pop("sim03_ivf_topk", None)
+    SCAN_METRICS.pop("sim04_pq_topk", None)
+    QUERIES["sim03_ivf_topk"].fn(spark, SF).collect()
+    QUERIES["sim04_pq_topk"].fn(spark, SF).collect()
+    ivf = SCAN_METRICS["sim03_ivf_topk"]
+    assert ivf["candidates"] > 0 and 0 < ivf["scan_fraction"] <= 1
+    assert ivf["probed_cell_fraction"] == 0.25  # 4 of 16 cells
+    pq = SCAN_METRICS["sim04_pq_topk"]
+    assert pq["scan_fraction"] == 1.0 and pq["rerank_shortlist"] == 64
+    assert pq["code_bits_per_vector"] == 64  # 16 subspaces x 4 bits
+    assert pq["codebook_source"] in ("artifact", "trained")
