@@ -126,8 +126,13 @@ class ERPipeline:
             stage,
         )
 
-    def _load_or_compute(self, stage: str, compute) -> DataFrame:
-        path = self._stage_path(stage)
+    def _load_or_compute(self, stage: str, compute, path: str | None = None) -> DataFrame:
+        """``path`` overrides the run-scoped snapshot location — used for
+        artifacts shared ACROSS runs (the history block-key table is
+        keyed by the history fingerprint alone, so successive delta
+        batches against the same history all reuse one snapshot)."""
+        if path is None:
+            path = self._stage_path(stage)
         if path and os.path.exists(os.path.join(path, "_SUCCESS")):
             self._metrics[stage] = {"resumed_from_snapshot": True, "path": path}
             return self.spark.read.parquet(path)
@@ -274,16 +279,50 @@ class ERPipeline:
                 lambda: normalize_files(new_files, cfg).drop("content"),
             )
             normalized = history_normalized.unionByName(new_norm)
+
+            # O(delta) blocking (round-3 VERDICT item 7): the raw
+            # block-key table is a pure per-record function, so
+            # history's keys are computed ONCE and snapshotted under
+            # the HISTORY fingerprint (shared by every later delta
+            # batch against the same history — at cluster scale this
+            # is the table you keep bucketed by block_key on disk
+            # between runs). Only the delta's keys are generated
+            # fresh; cap/salt counts still see the union, so capping
+            # decisions match the full-batch run exactly.
+            hist_path = None
+            if self.checkpoint_dir:
+                hist_fp = self._input_fingerprint(history_files)
+                hist_path = os.path.join(
+                    self.checkpoint_dir,
+                    f"fp={cfg.fingerprint()}-hist={hist_fp}",
+                    "s2_history_keys",
+                )
+            hist_keys = self._load_or_compute(
+                "s2_history_keys",
+                lambda: generate_blocks(history_normalized, cfg)
+                .repartition("block_key"),
+                path=hist_path,
+            )
+
+            def _blocks():
+                delta_keys = generate_blocks(new_norm, cfg)
+                self._metrics["s2_delta_key_rows"] = delta_keys.count()
+                # record ids are disjoint across history/delta, so the
+                # per-side dropDuplicates already covers the union
+                blocks = hist_keys.unionByName(delta_keys)
+                salted, _ = cap_and_salt_blocks(blocks, cfg)
+                return salted
+
         else:
             normalized = self._load_or_compute(
                 "s1_normalized",
                 lambda: normalize_files(files, cfg).drop("content"),
             )
 
-        def _blocks():
-            blocks = generate_blocks(normalized, cfg)
-            salted, _ = cap_and_salt_blocks(blocks, cfg)
-            return salted
+            def _blocks():
+                blocks = generate_blocks(normalized, cfg)
+                salted, _ = cap_and_salt_blocks(blocks, cfg)
+                return salted
 
         salted = self._load_or_compute("s2_blocks", _blocks)
 

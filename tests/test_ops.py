@@ -108,11 +108,44 @@ def test_feature_extract_real_pixels_for_bmp(spark):
     assert rows[1]["fake_width"] == 10 and rows[1]["fake_height"] == 6
     assert rows[1]["feat_mean"] == round(float(img.mean()) / 255.0, 6)
     assert rows[2]["decoder"] == "stub-sha256"
-    # resize metadata uses the real dimensions too
+    # resize really resamples BMP pixels (round-3 VERDICT item 6)
     rs = {r["doc_id"]: r for r in multimodal.resize_images(df).collect()}
-    assert rs[1]["resizer"] == "bmp-meta"
+    assert rs[1]["resizer"] == "bmp-numpy"
     assert rs[1]["scale_x"] == round(224 / 10, 6)
-    assert rs[2]["resizer"] == "stub-meta"
+    assert rs[1]["resized_sha"] is not None
+    assert rs[2]["resizer"] == "stub-meta" and rs[2]["resized_sha"] is None
+
+
+def test_resize_rgb_golden_gradient(spark):
+    """Golden nearest-neighbour resample: a 4x4 gradient downsampled to
+    2x2 picks exactly rows/cols {0, 2}, and the Spark-side resize_images
+    emits the sha of those exact pixels."""
+    import hashlib
+
+    import numpy as np
+
+    # gradient: pixel (y, x) = (16*y+4*x, 0, 0)
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    for y in range(4):
+        for x in range(4):
+            img[y, x, 0] = 16 * y + 4 * x
+    expected = img[[0, 2]][:, [0, 2]]  # NN grid: floor(i*4/2) = {0, 2}
+    got = multimodal.resize_rgb(img, 2, 2)
+    assert (got == expected).all()
+
+    df = spark.createDataFrame(
+        [(1, bytearray(multimodal.encode_bmp(img)))], "doc_id long, payload binary"
+    )
+    row = multimodal.resize_images(df, target_w=2, target_h=2).collect()[0]
+    want_sha = hashlib.sha256(
+        np.ascontiguousarray(expected).tobytes()
+    ).hexdigest()[:16]
+    assert row["resized_sha"] == want_sha and row["resizer"] == "bmp-numpy"
+    # upsample determinism: same input -> same sha
+    up1 = multimodal.resize_images(df, target_w=8, target_h=6).collect()[0]
+    up2 = multimodal.resize_images(df, target_w=8, target_h=6).collect()[0]
+    assert up1["resized_sha"] == up2["resized_sha"]
+    assert multimodal.resize_rgb(img, 8, 6).shape == (6, 8, 3)
 
 
 def test_fingerprint_properties(spark):
