@@ -50,6 +50,8 @@ HEADLINE = [
     "tx01_token_stats",
     "tx09_top_terms_per_lang",
     "tx10_doc_freq_idf",
+    "st01_streaming_exact_dedup",
+    "st02_streaming_hourly_counts",
     "er01_document_clusters",
 ]
 

@@ -30,6 +30,13 @@ def main() -> None:
     ap.add_argument("--nif-output", default=None,
                     help="also export clusters as NIF-style RDF turtle "
                          "(SmaphUtils.exportToNif analogue)")
+    ap.add_argument("--partition-buckets", type=int, default=None,
+                    help="write --output as Hive-partitioned parquet on "
+                         "pmod(cluster_id, N) buckets (bounded file "
+                         "sizes via write_partitioned_parquet) instead "
+                         "of a flat parquet dir")
+    ap.add_argument("--max-records-per-file", type=int, default=1_000_000,
+                    help="file-size bound for the partitioned sink")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -55,7 +62,26 @@ def main() -> None:
     pipe = ERPipeline(spark, cfg, checkpoint_dir=args.checkpoint_dir,
                       scorer_model=scorer_model)
     res = pipe.run(files)
-    res.clusters.write.mode("overwrite").parquet(args.output)
+    if args.partition_buckets:
+        from pyspark.sql import functions as F
+
+        from smaph_spark.sources.sinks import write_partitioned_parquet
+
+        # cluster ids are xxhash64-derived (uniform), so pmod buckets
+        # give even partition sizes; sorting within partitions by
+        # cluster_id makes parquet min/max stats selective for
+        # point-lookups of a cluster
+        out = res.clusters.withColumn(
+            "cluster_bucket",
+            F.pmod(F.col("cluster_id"), F.lit(args.partition_buckets)),
+        )
+        write_partitioned_parquet(
+            out, args.output, ["cluster_bucket"],
+            max_records_per_file=args.max_records_per_file,
+            sort_cols=["cluster_id"],
+        )
+    else:
+        res.clusters.write.mode("overwrite").parquet(args.output)
     if args.nif_output:
         from smaph_spark.sources.sinks import export_clusters_nif
 

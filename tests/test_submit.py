@@ -37,6 +37,8 @@ def test_spark_submit_py_files(tmp_path, spark):
             "--py-files", zip_path,
             os.path.join(REPO, "scripts", "run_pipeline.py"),
             "--input", inp, "--output", out,
+            "--partition-buckets", "4",
+            "--nif-output", str(tmp_path / "nif"),
         ],
         capture_output=True, text=True, timeout=280,
         cwd=str(tmp_path),  # NOT the repo: forces import from the zip
@@ -49,3 +51,11 @@ def test_spark_submit_py_files(tmp_path, spark):
     assert result["sha_violations"] == 0
     clusters = spark.read.parquet(out)
     assert clusters.count() == len(files)
+    # --partition-buckets: Hive layout on cluster_bucket, all rows intact
+    buckets = {d for d in os.listdir(out) if d.startswith("cluster_bucket=")}
+    assert buckets and buckets <= {f"cluster_bucket={i}" for i in range(4)}
+    assert "cluster_bucket" in clusters.columns
+    # --nif-output: every record has exactly one turtle statement
+    nif = spark.read.text(str(tmp_path / "nif"))
+    assert nif.count() == len(files)
+    assert nif.filter(~nif["value"].contains("taIdentRef")).count() == 0
