@@ -75,3 +75,107 @@ def exact_event_stats(events: DataFrame) -> DataFrame:
 )
 def sk_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_event_stats(load(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# sk02: heavy hitters via distributed Misra-Gries + exact verification.
+# The two-phase pattern a 100 TB frequency query wants: a bounded-state
+# per-partition sketch proposes candidates (no full-key shuffle of the
+# raw stream), then ONE filtered aggregation computes exact counts for
+# just those candidates. The MG guarantee (underestimate <= n_p/(k+1)
+# per partition, summed <= n/(k+1) over the union) makes the candidate
+# set provably a superset of every item with frequency >= threshold
+# when capacity k is sized so n/(k+1) < threshold — so the FINAL output
+# (exact counts, exact threshold) is deterministic and oracle-checkable
+# even though the sketch itself is partition-order dependent.
+# (Misra & Gries 1982; the "frequent" algorithm.)
+# ---------------------------------------------------------------------------
+
+#: last-run stats of the sketch phase (no-silent-caps discipline)
+SKETCH_METRICS: dict[str, dict] = {}
+
+
+def _mg_reduce(counters: dict, k: int) -> None:
+    """Shrink `counters` to <= k entries by the batched MG step:
+    subtract the smallest surplus count from all, drop non-positives.
+    Each unit subtracted from a counter corresponds to k+1 distinct
+    stream deletions, preserving est(x) >= f(x) - n/(k+1)."""
+    if len(counters) <= k:
+        return
+    counts = sorted(counters.values())
+    t = counts[len(counters) - k - 1]  # (len-k)-th smallest
+    for key in list(counters):
+        c = counters[key] - t
+        if c <= 0:
+            del counters[key]
+        else:
+            counters[key] = c
+
+
+def mg_partition_summaries(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """One Misra-Gries summary per PARTITION (<= k counters each):
+    mapInPandas hands the whole partition as a batch iterator, so a
+    single dict spans it; per batch the update is a vectorized
+    value_counts merge + one reduce, not per-row Python."""
+    import pandas as pd
+
+    def op(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for key, cnt in pdf[key_col].value_counts().items():
+                counters[key] = counters.get(key, 0) + int(cnt)
+            _mg_reduce(counters, k)
+        if counters:
+            yield pd.DataFrame(
+                {key_col: list(counters), "est": list(counters.values())}
+            )
+
+    return df.select(key_col).mapInPandas(op, schema=f"{key_col} string, est long")
+
+
+def heavy_hitters(
+    events: DataFrame, key_col: str = "event_type",
+    min_freq_fraction: float = 0.05, metrics_key: str = "sk02_heavy_hitters",
+) -> DataFrame:
+    """Exact counts of every key with frequency >= ceil(fraction * n),
+    computed sketch-first: MG candidates -> broadcast semi-join ->
+    exact count of candidates only. The groupBy in phase 2 aggregates
+    a candidate-filtered stream (map-side partial agg on few keys);
+    the raw key stream is never shuffled."""
+    import math
+
+    n = events.count()
+    threshold = max(1, math.ceil(min_freq_fraction * n))
+    # size capacity so n/(k+1) < threshold => every true heavy hitter
+    # survives the union of partition summaries
+    k = max(1, math.ceil(n / threshold)) + 1
+    summaries = mg_partition_summaries(events, key_col, k)
+    candidates = summaries.groupBy(key_col).agg(F.sum("est").alias("est"))
+    cand_keys = candidates.select(key_col)
+    n_cand = cand_keys.count()
+    SKETCH_METRICS[metrics_key] = {
+        "rows": n, "threshold": threshold, "mg_capacity": k,
+        "candidates": n_cand,
+    }
+    exact = (
+        events.join(F.broadcast(cand_keys), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= threshold)
+    )
+    return exact
+
+
+@register(
+    "sk02_heavy_hitters",
+    """
+    SELECT event_type, COUNT(*) AS n
+    FROM events GROUP BY event_type
+    HAVING COUNT(*) >= ceil(0.05 * (SELECT COUNT(*) FROM events))
+    """,
+    survey_ref="Misra-Gries heavy hitters + exact verification (beyond-"
+               "reference training-data op; bounded-state candidate "
+               "generation, F3 frequency-filter family at corpus scale)",
+)
+def sk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return heavy_hitters(load(spark, sf_dir, "events"))

@@ -139,3 +139,68 @@ def test_write_partitioned_parquet_layout(spark, tmp_path):
         back.select(*d.columns).exceptAll(d).count() == 0
         and d.exceptAll(back.select(*d.columns)).count() == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# sk02: Misra-Gries heavy hitters — candidate superset guarantee +
+# exact-verified output (oracle-paired at the gate; adversarial skew here)
+# ---------------------------------------------------------------------------
+
+def test_mg_reduce_bound():
+    """The batched MG step keeps <= k counters and the per-key
+    underestimate never exceeds (stream length)/(k+1)."""
+    from collections import Counter
+
+    from smaph_spark.ops.sketches import _mg_reduce
+
+    import random
+
+    rng = random.Random(13)
+    stream = [f"k{int(rng.random() ** 3 * 50)}" for _ in range(5000)]
+    k = 10
+    counters: dict = {}
+    exact = Counter(stream)
+    # batched ingestion like the partition op
+    for i in range(0, len(stream), 500):
+        for key, cnt in Counter(stream[i : i + 500]).items():
+            counters[key] = counters.get(key, 0) + cnt
+        _mg_reduce(counters, k)
+        assert len(counters) <= k
+    bound = len(stream) / (k + 1)
+    for key, est in counters.items():
+        assert est <= exact[key]
+        assert exact[key] - est <= bound
+    # every key with true frequency > n/(k+1) survived
+    for key, f in exact.items():
+        if f > bound:
+            assert key in counters, (key, f, bound)
+
+
+def test_heavy_hitters_exact_on_skewed_corpus(spark):
+    """Sketch-first heavy hitters == plain exact GROUP BY/HAVING on a
+    skewed corpus, across partition layouts (the sketch is partition-
+    order dependent; the verified OUTPUT must not be)."""
+    import math
+
+    from smaph_spark.ops.sketches import SKETCH_METRICS, heavy_hitters
+
+    rows = (
+        [("hot",)] * 3000 + [("warm",)] * 800
+        + [(f"cold{i % 97}",) for i in range(1200)]
+    )
+    df = spark.createDataFrame(rows, "event_type string")
+    n = len(rows)
+    thr = math.ceil(0.05 * n)
+    expect = {("hot", 3000), ("warm", 800)}
+    for parts in (1, 7, 32):
+        got = {
+            (r["event_type"], r["n"])
+            for r in heavy_hitters(
+                df.repartition(parts), metrics_key="sk02test"
+            ).collect()
+        }
+        assert got == expect, (parts, got)
+        m = SKETCH_METRICS["sk02test"]
+        assert m["threshold"] == thr and m["candidates"] >= len(expect)
+        # bounded state: candidate set is sketch-sized, not key-space-sized
+        assert m["candidates"] <= m["mg_capacity"] * parts
