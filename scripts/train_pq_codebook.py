@@ -20,8 +20,6 @@ import argparse
 import os
 import sys
 
-import numpy as np
-
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
@@ -39,7 +37,8 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from smaph_spark.ops.similarity import (
-        _dot, save_pq_codebooks, train_pq_codebooks,
+        normalize_embeddings, pq_training_sample, save_pq_codebooks,
+        train_pq_codebooks,
     )
     from smaph_spark.session import get_spark
 
@@ -48,15 +47,10 @@ def main() -> None:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
     )
-    # the same normalization + deterministic sample recipe pq_topk uses
-    norm = F.sqrt(_dot(F.col("emb"), F.col("emb")))
-    en = e.select(
-        "vec_id",
-        F.transform("emb", lambda x: F.coalesce(
-            F.try_divide(x, norm), F.lit(0.0))).alias("emb"),
-    )
-    rows = en.orderBy(F.xxhash64("vec_id")).limit(args.train_sample).collect()
-    train_mat = np.stack([np.asarray(r["emb"]) for r in rows])
+    # SHARED normalization + sample recipe (the exact preprocessing
+    # pq_topk applies at serve time — keeping them one function is what
+    # stops the committed artifact drifting from the serve path)
+    train_mat = pq_training_sample(normalize_embeddings(e), args.train_sample)
     print(f"training sample: {train_mat.shape} from {args.sf_dir}")
     books = train_pq_codebooks(
         train_mat, m=args.m, n_centroids=args.n_centroids

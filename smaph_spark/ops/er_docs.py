@@ -104,6 +104,28 @@ def run_document_er(spark: SparkSession, sf_dir: str, use_cache: bool = True):
     return res, id_map
 
 
+def cluster_membership_rows(clusters: DataFrame, id_map: DataFrame) -> DataFrame:
+    """clusters(record_id, cluster_id) + id_map(record_id, doc_id) ->
+    one row per cluster: (canonical_doc, cluster_size, member_docs).
+    THE membership projection of both er01 and er04 (their row-equality
+    is test-pinned, so the shape lives in one place — round-4 review).
+    member_docs is a comma-joined string, not array<long>: the driver's
+    canonicalizer sorts rows pandas-side and lists are unhashable there
+    (same pattern as q21, star_queries.py)."""
+    return (
+        clusters.join(id_map, "record_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.min("doc_id").alias("canonical_doc"),
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")), ","
+            ).alias("member_docs"),
+        )
+        .select("canonical_doc", "cluster_size", "member_docs")
+    )
+
+
 @register(
     "er01_document_clusters",
     None,  # full ER pipeline (MinHash blocking) — rows-only check
@@ -111,21 +133,7 @@ def run_document_er(spark: SparkSession, sf_dir: str, use_cache: bool = True):
 )
 def er_document_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     res, id_map = run_document_er(spark, sf_dir)
-    return (
-        res.clusters.join(id_map, "record_id")
-        .groupBy("cluster_id")
-        .agg(
-            F.count("*").alias("cluster_size"),
-            F.min("doc_id").alias("canonical_doc"),
-            # comma-joined string, not array<long>: the driver's
-            # canonicalizer sorts rows pandas-side and lists are
-            # unhashable there (same pattern as q21, star_queries.py)
-            F.array_join(
-                F.sort_array(F.collect_list("doc_id")), ","
-            ).alias("member_docs"),
-        )
-        .select("canonical_doc", "cluster_size", "member_docs")
-    )
+    return cluster_membership_rows(res.clusters, id_map)
 
 
 #: engine-vs-engine oracle for connected components itself (round-2
@@ -271,18 +279,4 @@ def er_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     id_map = files.select(
         F.xxhash64("repo", "path", "commit").alias("record_id"), "doc_id"
     )
-    return (
-        inc.clusters.join(id_map, "record_id")
-        .groupBy("cluster_id")
-        .agg(
-            F.count("*").alias("cluster_size"),
-            F.min("doc_id").alias("canonical_doc"),
-            # comma-joined string, not array<long>: the driver's
-            # canonicalizer sorts rows pandas-side and lists are
-            # unhashable there (same pattern as er01)
-            F.array_join(
-                F.sort_array(F.collect_list("doc_id")), ","
-            ).alias("member_docs"),
-        )
-        .select("canonical_doc", "cluster_size", "member_docs")
-    )
+    return cluster_membership_rows(inc.clusters, id_map)

@@ -118,6 +118,18 @@ _LOG = logging.getLogger("smaph_spark.similarity")
 SCAN_METRICS: dict[str, dict] = {}
 
 
+def _count_candidates_and_release(cand: DataFrame, result: DataFrame):
+    """The metrics lifecycle shared by the bucketed ANN paths: count the
+    persisted candidate set, bake the (tiny, q*k-row) result with an
+    eager localCheckpoint so the candidate cache can be released NOW
+    instead of leaking for the session lifetime, unpersist. Returns
+    (n_candidates, checkpointed result)."""
+    n_cand = cand.count()
+    result = result.localCheckpoint(eager=True)
+    cand.unpersist()
+    return n_cand, result
+
+
 def lsh_topk(
     e: DataFrame,
     query_filter,
@@ -195,7 +207,7 @@ def lsh_topk(
         .select("q_vec", "n_vec", F.round("cos_raw", 4).alias("cos"), "rnk")
     )
     if log_scan_fraction:
-        n_cand = cand.count()
+        n_cand, result = _count_candidates_and_release(cand, result)
         # counts on the RAW input (no hyperplane UDF re-run)
         n_q = e.filter(query_filter).count()
         n_vecs = e.count()
@@ -207,10 +219,6 @@ def lsh_topk(
         _LOG.info("%s LSH candidate scan fraction: %.4f "
                   "(%d of %d possible)", metrics_key, frac, n_cand,
                   n_q * (n_vecs - 1))
-        # bake the (tiny, q*k-row) result so the candidate cache can be
-        # released now instead of leaking for the session lifetime
-        result = result.localCheckpoint(eager=True)
-        cand.unpersist()
     return result
 
 
@@ -327,7 +335,7 @@ def ivf_topk(
     if log_scan_metrics:
         # no-silent-caps (round-3 VERDICT item 5): the probed fraction
         # IS the speed/recall trade — record it like sim02 does
-        n_cand = cand.count()
+        n_cand, result = _count_candidates_and_release(cand, result)
         n_q = e.filter(query_filter).count()
         n_vecs = e.count()
         frac = n_cand / max(n_q * (n_vecs - 1), 1)
@@ -341,8 +349,6 @@ def ivf_topk(
             "%s IVF scan: %d candidates (%.4f of all pairs), probing "
             "%d/%d cells", metrics_key, n_cand, frac, n_probe, n_cells,
         )
-        result = result.localCheckpoint(eager=True)
-        cand.unpersist()
     return result
 
 
@@ -447,6 +453,27 @@ def load_pq_codebooks(
     return books
 
 
+def normalize_embeddings(e: DataFrame) -> DataFrame:
+    """Unit-normalize (zero-norm -> zero vector): inner product ==
+    cosine downstream. THE preprocessing recipe for PQ — shared by
+    pq_topk and the codebook trainer script so the committed artifact
+    is always fit on identically-preprocessed vectors (round-4
+    review)."""
+    norm = F.sqrt(_dot(F.col("emb"), F.col("emb")))
+    return e.select(
+        "vec_id",
+        F.transform("emb", lambda x: F.coalesce(
+            F.try_divide(x, norm), F.lit(0.0))).alias("emb"),
+    )
+
+
+def pq_training_sample(en: DataFrame, train_sample: int) -> np.ndarray:
+    """Deterministic driver-side training sample (hash order, not data
+    order) — shared by pq_topk's retrain path and the trainer script."""
+    rows = en.orderBy(F.xxhash64("vec_id")).limit(train_sample).collect()
+    return np.stack([np.asarray(r["emb"]) for r in rows])
+
+
 def pq_topk(
     e: DataFrame,
     query_filter,
@@ -475,14 +502,7 @@ def pq_topk(
     from pyspark.sql import Window as W
 
     spark = e.sparkSession
-    # normalized vectors: inner product == cosine, so ADC tables rank
-    # by cosine directly
-    norm = F.sqrt(_dot(F.col("emb"), F.col("emb")))
-    en = e.select(
-        "vec_id",
-        F.transform("emb", lambda x: F.coalesce(
-            F.try_divide(x, norm), F.lit(0.0))).alias("emb"),
-    )
+    en = normalize_embeddings(e)
     books = None
     codebook_source = "trained"
     if codebook_path is not None:
@@ -496,11 +516,7 @@ def pq_topk(
             if books is not None:
                 codebook_source = "artifact"
     if books is None:
-        # deterministic training sample (hash order, not data order)
-        sample_rows = (
-            en.orderBy(F.xxhash64("vec_id")).limit(train_sample).collect()
-        )
-        train_mat = np.stack([np.asarray(r["emb"]) for r in sample_rows])
+        train_mat = pq_training_sample(en, train_sample)
         books = train_pq_codebooks(train_mat, m=m, n_centroids=n_centroids)
         if codebook_path is not None:
             try:

@@ -137,28 +137,38 @@ def heavy_hitters(
     events: DataFrame, key_col: str = "event_type",
     min_freq_fraction: float = 0.05, metrics_key: str = "sk02_heavy_hitters",
 ) -> DataFrame:
-    """Exact counts of every key with frequency >= ceil(fraction * n),
-    computed sketch-first: MG candidates -> broadcast semi-join ->
-    exact count of candidates only. The groupBy in phase 2 aggregates
-    a candidate-filtered stream (map-side partial agg on few keys);
-    the raw key stream is never shuffled."""
+    """Exact counts of every NON-NULL key with frequency >=
+    ceil(fraction * n), computed sketch-first: MG candidates ->
+    candidate-filtered exact count. NULL keys are excluded by contract
+    on both engines (pandas value_counts drops NaN and an equi-join
+    never matches NULL, so including them would silently diverge from
+    a SQL GROUP BY's NULL group — round-4 review); n counts non-null
+    rows only, matching the oracle's COUNT(key_col).
+
+    Three passes over the data, each narrow: the row count (sets the
+    MG capacity), the sketch, and the verification agg on few keys —
+    the raw key stream is never shuffled. Candidates are collected
+    driver-side (bounded <= capacity x partitions by construction) so
+    the sketch lineage runs exactly once."""
     import math
 
+    events = events.filter(F.col(key_col).isNotNull())
     n = events.count()
     threshold = max(1, math.ceil(min_freq_fraction * n))
     # size capacity so n/(k+1) < threshold => every true heavy hitter
     # survives the union of partition summaries
     k = max(1, math.ceil(n / threshold)) + 1
     summaries = mg_partition_summaries(events, key_col, k)
-    candidates = summaries.groupBy(key_col).agg(F.sum("est").alias("est"))
-    cand_keys = candidates.select(key_col)
-    n_cand = cand_keys.count()
+    cand_keys = [
+        r[key_col]
+        for r in summaries.groupBy(key_col).agg(F.sum("est")).collect()
+    ]
     SKETCH_METRICS[metrics_key] = {
         "rows": n, "threshold": threshold, "mg_capacity": k,
-        "candidates": n_cand,
+        "candidates": len(cand_keys),
     }
     exact = (
-        events.join(F.broadcast(cand_keys), key_col, "left_semi")
+        events.filter(F.col(key_col).isin(cand_keys))
         .groupBy(key_col)
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= threshold)
@@ -170,8 +180,9 @@ def heavy_hitters(
     "sk02_heavy_hitters",
     """
     SELECT event_type, COUNT(*) AS n
-    FROM events GROUP BY event_type
-    HAVING COUNT(*) >= ceil(0.05 * (SELECT COUNT(*) FROM events))
+    FROM events WHERE event_type IS NOT NULL
+    GROUP BY event_type
+    HAVING COUNT(*) >= ceil(0.05 * (SELECT COUNT(event_type) FROM events))
     """,
     survey_ref="Misra-Gries heavy hitters + exact verification (beyond-"
                "reference training-data op; bounded-state candidate "

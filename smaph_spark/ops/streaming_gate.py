@@ -68,12 +68,26 @@ def _staged_events_dir(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), "events")
     if key not in _STAGE_CACHE:
         stage = tempfile.mkdtemp(prefix="smaph_st02_events_")
+        # absolute target: a relative sf_dir would resolve relative to
+        # the /tmp stage dir and dangle (round-4 review)
         os.symlink(
-            os.path.join(sf_dir, "events.parquet"),
+            os.path.abspath(os.path.join(sf_dir, "events.parquet")),
             os.path.join(stage, "events.parquet"),
         )
         _STAGE_CACHE[key] = stage
     return _STAGE_CACHE[key]
+
+
+def _drain_sink(spark: SparkSession, name: str, cols: list[str]) -> DataFrame:
+    """Materialize the memory sink's rows and DROP the temp view:
+    each invocation registers a fresh sink table that would otherwise
+    hold its full result in driver memory for the application lifetime
+    (st01/st02 run repeatedly at the gate and in bench — round-4
+    review). localCheckpoint(eager) pins the data independently of the
+    view before it is dropped."""
+    out = spark.table(name).select(*cols).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 @register(
@@ -95,7 +109,7 @@ def st_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = streaming_exact_dedup(spark, src, schema, watermark="3650 days")
     name = f"st01_sink_{next(_SINK_IDS)}"
     run_to_memory(stream, name)
-    return spark.table(name).select("text_md5")
+    return _drain_sink(spark, name, ["text_md5"])
 
 
 @register(
@@ -111,4 +125,6 @@ def st_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = streaming_hourly_event_counts(spark, src, schema)
     name = f"st02_sink_{next(_SINK_IDS)}"
     run_to_memory(stream, name, output_mode="complete")
-    return spark.table(name).select("hour_start", "event_type", "n", "sum_value")
+    return _drain_sink(
+        spark, name, ["hour_start", "event_type", "n", "sum_value"]
+    )

@@ -88,14 +88,21 @@ class ERPipeline:
         """Fingerprint the INPUT so snapshots are keyed by (config, data):
         re-running the same config against a different --input must not
         resume stale snapshots (round-1 ADVICE). File-backed sources use
-        the metadata-only inputFiles() list (no job); in-memory frames
-        fall back to the logical plan with volatile expr-ids stripped."""
+        the metadata-only inputFiles() list PLUS the normalized logical
+        plan (no job): inputFiles() alone ignores filters, so two
+        different filtered SLICES of the same parquet source — e.g. the
+        history/delta splits of run_incremental — would collide on the
+        path list and silently resume each other's snapshots (round-4
+        review). In-memory frames fall back to a content hash."""
         try:
             paths = sorted(files.inputFiles())
         except Exception:
             paths = []
         if paths:
-            basis = ";".join(paths)
+            plan = re.sub(
+                r"#\d+", "", files._jdf.queryExecution().logical().toString()
+            )
+            basis = ";".join(paths) + "|" + plan
         else:
             # in-memory source (no backing files): plan strings are
             # schema-only, so hash the content with one agg job —
@@ -305,10 +312,25 @@ class ERPipeline:
             )
 
             def _blocks():
+                # the O(delta) union relies on history/delta record ids
+                # being DISJOINT (per-side dedup covers the union only
+                # then); a delta that re-ingests an existing record
+                # would silently inflate blocks and duplicate pairs —
+                # verify instead of assuming (round-4 review). One
+                # narrow semi-join count, delta ids broadcast.
+                overlap = history_normalized.select("record_id").join(
+                    F.broadcast(new_norm.select("record_id").distinct()),
+                    "record_id", "left_semi",
+                ).count()
+                if overlap:
+                    raise ValueError(
+                        f"run_incremental: {overlap} record(s) appear in "
+                        "BOTH history and the new batch; dedupe the delta "
+                        "against history first (e.g. dd07-style digest "
+                        "anti-join) or run a full batch"
+                    )
                 delta_keys = generate_blocks(new_norm, cfg)
                 self._metrics["s2_delta_key_rows"] = delta_keys.count()
-                # record ids are disjoint across history/delta, so the
-                # per-side dropDuplicates already covers the union
                 blocks = hist_keys.unionByName(delta_keys)
                 salted, _ = cap_and_salt_blocks(blocks, cfg)
                 return salted

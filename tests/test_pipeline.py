@@ -391,3 +391,41 @@ def test_incremental_blocking_is_delta_sized(spark, tmp_path):
     full_set = {(r["record_id"], r["cluster_id"]) for r in full.clusters.collect()}
     inc_set = {(r["record_id"], r["cluster_id"]) for r in r2.clusters.collect()}
     assert inc_set == full_set
+
+
+def test_file_backed_splits_fingerprint_differently(spark, tmp_path):
+    """Round-4 review: inputFiles() ignores filters, so two filtered
+    SLICES of the same parquet source must still fingerprint
+    differently (the plan string carries the predicate) — otherwise
+    run_incremental with parquet-backed splits resumes the wrong
+    snapshots."""
+    files_pdf, _, _ = generate_files_corpus(n_clusters=10, seed=55)
+    src = str(tmp_path / "files")
+    spark.createDataFrame(files_pdf).write.parquet(src)
+    base = spark.read.parquet(src)
+    bucket = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(5))
+    fp_a = ERPipeline._input_fingerprint(base.filter(bucket < 4))
+    fp_b = ERPipeline._input_fingerprint(base.filter(bucket < 2))
+    fp_full = ERPipeline._input_fingerprint(base)
+    assert len({fp_a, fp_b, fp_full}) == 3
+    # and stable for the same slice
+    assert fp_a == ERPipeline._input_fingerprint(base.filter(bucket < 4))
+
+
+def test_incremental_rejects_history_delta_overlap(spark):
+    """Round-4 review: the O(delta) blocking path assumes disjoint
+    history/delta record ids — an overlapping record must raise, not
+    silently duplicate block keys and pairs."""
+    import pytest as _pytest
+
+    files_pdf, _, _ = generate_files_corpus(n_clusters=20, seed=606)
+    files = spark.createDataFrame(files_pdf)
+    bucket = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(5))
+    history = files.filter(bucket < 4)
+    overlapping_delta = files.filter(bucket >= 3)  # bucket 3 in both
+    hist_res = ERPipeline(spark, ERConfig()).run(history)
+    with _pytest.raises(ValueError, match="BOTH history"):
+        ERPipeline(spark, ERConfig()).run_incremental(
+            history, overlapping_delta, hist_res.clusters,
+            history_normalized=hist_res.normalized,
+        )
