@@ -44,9 +44,11 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_WINDOW = 50
 
 _ROWS_ONLY_PRIORITY = [
-    # flagship ER surfaces first: these are the pipeline's own outputs
-    "er01_document_clusters",
+    # er04 first: its membership-level row is the round-3 VERDICT item-2
+    # deliverable, and er01's pipeline is already executed at the gate
+    # by entry() (plus er04 == er01 row-equality is pytest-pinned)
     "er04_incremental_clusters",
+    "er01_document_clusters",
     "er02_document_match_pairs",
     # one representative per approximate family
     "dd03_minhash_lsh_pairs",

@@ -47,6 +47,9 @@ HEADLINE = [
     "dd07_incremental_new_docs",
     "sim01_bruteforce_topk",
     "sk01_event_sketch_stats",
+    "sk02_heavy_hitters",
+    "er05_blocking_quality",
+    "ds03_temporal_split",
     "tx01_token_stats",
     "tx09_top_terms_per_lang",
     "tx10_doc_freq_idf",

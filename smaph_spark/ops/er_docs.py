@@ -223,6 +223,91 @@ def er_tokenband_graph_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ER05_SQL = rf"""
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             len(string_split_regex(trim(text), '{WS_RE}')) AS n_toks
+      FROM documents WHERE length(trim(text)) > 0),
+    g AS (
+      SELECT lang, source, COUNT(*) AS n_records
+      FROM t GROUP BY lang, source),
+    cand AS (
+      SELECT a.lang, a.source, COUNT(*) AS n_candidate_pairs
+      FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
+       AND abs(a.n_toks - b.n_toks) <= 2 AND a.doc_id < b.doc_id
+      GROUP BY a.lang, a.source)
+    SELECT g.lang, g.source, g.n_records,
+           COALESCE(c.n_candidate_pairs, 0) AS n_candidate_pairs,
+           (g.n_records * (g.n_records - 1)) // 2 AS n_total_pairs,
+           CASE WHEN g.n_records < 2 THEN NULL
+                ELSE ROUND(1.0 - COALESCE(c.n_candidate_pairs, 0)::DOUBLE
+                           / ((g.n_records * (g.n_records - 1)) // 2), 6)
+           END AS reduction_ratio
+    FROM g LEFT JOIN cand c ON g.lang = c.lang AND g.source = c.source
+"""
+
+
+@register(
+    "er05_blocking_quality",
+    _ER05_SQL,
+    survey_ref="blocking-quality metrics (reduction ratio per block "
+               "family) — the candidate-generation efficiency report an "
+               "ER toolkit ships; same deterministic banded graph as "
+               "er03 (SmaphAnnotator.java:820-911 source-coverage "
+               "accounting analogue)",
+)
+def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (lang, source): how many candidate pairs the token-band
+    blocking emits vs the all-pairs baseline — reduction ratio, THE
+    blocking-efficiency number. The candidate count uses the same
+    banded equi-join recast as er03 (one shuffle on the band key,
+    never a per-group cross product); the all-pairs baseline is
+    computed arithmetically from group sizes, not materialized."""
+    d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    t = d.select(
+        "doc_id", "lang", "source",
+        F.size(F.split(F.trim("text"), WS_RE)).alias("n_toks"),
+    )
+    g = t.groupBy("lang", "source").agg(F.count("*").alias("n_records"))
+    bucket = F.floor(F.col("n_toks") / 3)
+    a = t.select(
+        F.col("doc_id").alias("left_id"), "lang", "source",
+        F.col("n_toks").alias("a_toks"), bucket.alias("bkt"),
+    )
+    b = t.select(
+        F.col("doc_id").alias("right_id"), "lang", "source",
+        F.col("n_toks").alias("b_toks"),
+        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("bkt"),
+    )
+    cand = (
+        a.join(b, ["lang", "source", "bkt"])
+        .filter(
+            (F.abs(F.col("a_toks") - F.col("b_toks")) <= 2)
+            & (F.col("left_id") < F.col("right_id"))
+        )
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n_candidate_pairs"))
+    )
+    total = F.expr("n_records * (n_records - 1) DIV 2")
+    return (
+        g.join(cand, ["lang", "source"], "left")
+        .select(
+            "lang", "source", "n_records",
+            F.coalesce("n_candidate_pairs", F.lit(0)).alias("n_candidate_pairs"),
+            total.alias("n_total_pairs"),
+            F.when(F.col("n_records") < 2, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(
+                    1.0
+                    - F.coalesce("n_candidate_pairs", F.lit(0)).cast("double")
+                    / total.cast("double"),
+                    6,
+                )
+            ).alias("reduction_ratio"),
+        )
+    )
+
+
 @register(
     "er02_document_match_pairs",
     None,  # scored pairs from the ER pipeline — rows-only check

@@ -86,6 +86,67 @@ def stratified_sample(
     return df.filter(hash_bucket(F.col(id_col), 100) < threshold)
 
 
+def temporal_split(
+    df: DataFrame, time_col: str, train_quantile: float = 0.8,
+    embargo: str = "1 hour",
+) -> DataFrame:
+    """Leakage-safe temporal split: rows at or before the
+    ``train_quantile`` timestamp (percentile_disc — an actual data
+    value, engine-portable) are 'train'; rows inside the embargo window
+    after the cutoff are labeled 'embargo' (dropped by the trainer) so
+    near-boundary leakage
+    (features computed over windows that straddle the cutoff) cannot
+    contaminate the test side; the rest are 'test'. The cutoff is one
+    tiny aggregate broadcast against the scan — no shuffle of the fact
+    table, no rand(), reproducible at any scale."""
+    # Spark's percentile_disc takes NUMERIC only (DuckDB's quantile_disc
+    # accepts timestamps directly): order by unix_micros and convert the
+    # picked value back — exact, because percentile_disc returns an
+    # actual data value, and the session TZ is pinned UTC so the
+    # NTZ<->LTZ casts are wall-clock no-ops
+    # (percentile_disc returns DOUBLE; micros ~1.7e15 stay exact well
+    # under double's 2^53 integer range, so the bigint cast is lossless)
+    cutoff = df.agg(
+        F.expr(
+            f"cast(timestamp_micros(cast(percentile_disc({train_quantile}) "
+            f"WITHIN GROUP (ORDER BY unix_micros(cast({time_col} as "
+            f"timestamp))) as bigint)) as timestamp_ntz)"
+        ).alias("cutoff")
+    )
+    emb_end = F.col("cutoff") + F.expr(f"INTERVAL {embargo}")
+    return (
+        df.crossJoin(F.broadcast(cutoff))
+        .withColumn(
+            "split",
+            F.when(F.col(time_col) <= F.col("cutoff"), F.lit("train"))
+            .when(F.col(time_col) <= emb_end, F.lit("embargo"))
+            .otherwise(F.lit("test")),
+        )
+        .drop("cutoff")
+    )
+
+
+@register(
+    "ds03_temporal_split",
+    """
+    WITH c AS (SELECT quantile_disc(ts, 0.8) AS cutoff FROM events)
+    SELECT event_id,
+           CASE WHEN ts <= cutoff THEN 'train'
+                WHEN ts <= cutoff + INTERVAL 1 HOUR THEN 'embargo'
+                ELSE 'test' END AS split
+    FROM events, c
+    """,
+    survey_ref="leakage-safe temporal train/test split with embargo "
+               "(beyond-reference training-data op; percentile_disc "
+               "cutoff == DuckDB quantile_disc, engine-portable)",
+)
+def ds_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return temporal_split(e.select("event_id", "ts"), "ts").select(
+        "event_id", "split"
+    )
+
+
 @register(
     "ds02_stratified_sample",
     """

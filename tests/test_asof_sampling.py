@@ -242,3 +242,28 @@ def test_stratified_sample_fraction_not_truncated(spark):
     got = {r["doc_id"] for r in kept.collect()}
     want = {r["doc_id"] for r in expected.collect()}
     assert got == want
+
+
+def test_temporal_split_leakage_properties(spark):
+    """ds03: every train timestamp precedes every test timestamp by at
+    least the embargo, the embargo band sits strictly between, and the
+    train fraction tracks the quantile."""
+    import datetime
+
+    from smaph_spark.ops.sampling import temporal_split
+
+    base = datetime.datetime(2026, 1, 1)
+    rows = [(i, base + datetime.timedelta(minutes=7 * i)) for i in range(500)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp_ntz")
+    out = temporal_split(df, "ts", train_quantile=0.8, embargo="1 hour")
+    got = [(r["ts"], r["split"]) for r in out.collect()]
+    assert len(got) == 500
+    train_ts = [t for t, s in got if s == "train"]
+    emb_ts = [t for t, s in got if s == "embargo"]
+    test_ts = [t for t, s in got if s == "test"]
+    assert train_ts and emb_ts and test_ts
+    cutoff = max(train_ts)
+    assert min(test_ts) > cutoff + datetime.timedelta(hours=1)
+    assert all(cutoff < t <= cutoff + datetime.timedelta(hours=1) for t in emb_ts)
+    # percentile_disc(0.8): 80% of rows at or before the cutoff
+    assert abs(len(train_ts) / 500 - 0.8) < 0.01

@@ -168,3 +168,23 @@ def test_er04_incremental_equals_full_flagship(spark):
         for r in QUERIES["er01_document_clusters"].fn(spark, SF).collect()
     }
     assert er04_rows == er01_rows
+
+
+def test_er05_blocking_quality_invariants(spark):
+    """Reduction ratio is a true blocking-efficiency number: candidate
+    pairs never exceed the all-pairs baseline, ratios live in [0, 1],
+    and singleton groups report NULL (no pairs to reduce)."""
+    rows = QUERIES["er05_blocking_quality"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        n = r["n_records"]
+        assert r["n_total_pairs"] == n * (n - 1) // 2
+        assert 0 <= r["n_candidate_pairs"] <= r["n_total_pairs"]
+        if n < 2:
+            assert r["reduction_ratio"] is None
+        else:
+            assert 0.0 <= r["reduction_ratio"] <= 1.0
+    # blocking must actually reduce somewhere on the real corpus
+    assert any(
+        r["reduction_ratio"] and r["reduction_ratio"] > 0 for r in rows
+    )
