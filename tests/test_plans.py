@@ -45,3 +45,33 @@ def test_q22_asof_no_join_single_exchange(spark):
     plan = _plan(spark, "q22_event_asof_order")
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_sk02_candidate_filter_pushed_to_scan(spark):
+    """The verification pass must scan only candidate keys: the IN
+    filter from the collected sketch candidates reaches the parquet
+    reader, and the whole query needs exactly ONE shuffle (the
+    verification agg) — the raw key stream is never shuffled."""
+    plan = _plan(spark, "sk02_heavy_hitters")
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert any("event_type" in s and " IN (" in s for s in scans), scans
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ds03_cutoff_broadcast_no_shuffle(spark):
+    """The percentile cutoff joins in as a broadcast of a 1-row
+    aggregate; the fact scan itself is never shuffled."""
+    plan = _plan(spark, "ds03_temporal_split")
+    assert plan.count("BroadcastExchange") == 1
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_er05_banded_equi_join_only(spark):
+    """The candidate-pair count must come from the banded EQUI-join
+    (shuffle on the band key), never a per-group cross product, and
+    the group-size side rides in as a broadcast."""
+    plan = _plan(spark, "er05_blocking_quality")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 1
