@@ -164,24 +164,25 @@ _ER03_SQL = rf"""
 """
 
 
-@register(
-    "er03_tokenband_graph_clusters",
-    _ER03_SQL,
-    survey_ref="W3 connected components vs engine oracle "
-               "(GreedyLinkback.java:49-87 assembly analogue)",
-)
-def er_tokenband_graph_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CC parity query. The |Δn_toks| <= 2 range predicate is joined as
-    a BANDED equi-join (bucket width 3; the right side emits buckets
-    k-1,k,k+1) — the scale-safe range-join idiom: Catalyst gets an
-    equi-key shuffle on (lang, source, bucket) instead of a per-group
-    cross product. Each qualifying pair matches exactly one bucket key,
-    so no post-join dedup is needed."""
+def _tokenband_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, source, n_toks) for non-empty documents — the
+    node table of the deterministic er03/er05 token-band graph."""
     d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
-    t = d.select(
+    return d.select(
         "doc_id", "lang", "source",
         F.size(F.split(F.trim("text"), WS_RE)).alias("n_toks"),
     )
+
+
+def _tokenband_candidate_pairs(t: DataFrame) -> DataFrame:
+    """Same-(lang, source) pairs with |Δn_toks| <= 2, canonicalized
+    left_id < right_id — via the scale-safe BANDED equi-join recast
+    (bucket width 3; the right side emits buckets k-1,k,k+1): Catalyst
+    gets an equi-key shuffle on (lang, source, bucket) instead of a
+    per-group cross product, and each qualifying pair matches exactly
+    one bucket key so no post-join dedup is needed. SHARED by er03
+    (graph edges) and er05 (candidate counting) — the band predicate is
+    load-bearing for both oracles, so it lives once (round-4 review)."""
     bucket = F.floor(F.col("n_toks") / 3)
     a = t.select(
         F.col("doc_id").alias("left_id"), "lang", "source",
@@ -192,14 +193,27 @@ def er_tokenband_graph_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_toks").alias("b_toks"),
         F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("bkt"),
     )
-    edges = (
+    return (
         a.join(b, ["lang", "source", "bkt"])
         .filter(
             (F.abs(F.col("a_toks") - F.col("b_toks")) <= 2)
             & (F.col("left_id") < F.col("right_id"))
         )
-        .select("left_id", "right_id")
+        .select("lang", "source", "left_id", "right_id")
     )
+
+
+@register(
+    "er03_tokenband_graph_clusters",
+    _ER03_SQL,
+    survey_ref="W3 connected components vs engine oracle "
+               "(GreedyLinkback.java:49-87 assembly analogue)",
+)
+def er_tokenband_graph_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CC parity query over the shared token-band candidate graph
+    (see _tokenband_candidate_pairs for the banded-join recast)."""
+    t = _tokenband_docs(spark, sf_dir)
+    edges = _tokenband_candidate_pairs(t).select("left_id", "right_id")
     from smaph_spark.operators.clustering import connected_components
 
     # cc_local_threshold=0 forces the DISTRIBUTED hash-min path — this
@@ -259,32 +273,14 @@ _ER05_SQL = rf"""
 def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (lang, source): how many candidate pairs the token-band
     blocking emits vs the all-pairs baseline — reduction ratio, THE
-    blocking-efficiency number. The candidate count uses the same
-    banded equi-join recast as er03 (one shuffle on the band key,
-    never a per-group cross product); the all-pairs baseline is
-    computed arithmetically from group sizes, not materialized."""
-    d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
-    t = d.select(
-        "doc_id", "lang", "source",
-        F.size(F.split(F.trim("text"), WS_RE)).alias("n_toks"),
-    )
+    blocking-efficiency number. Candidate pairs come from the shared
+    banded equi-join (_tokenband_candidate_pairs — one shuffle on the
+    band key, never a per-group cross product); the all-pairs baseline
+    is computed arithmetically from group sizes, not materialized."""
+    t = _tokenband_docs(spark, sf_dir)
     g = t.groupBy("lang", "source").agg(F.count("*").alias("n_records"))
-    bucket = F.floor(F.col("n_toks") / 3)
-    a = t.select(
-        F.col("doc_id").alias("left_id"), "lang", "source",
-        F.col("n_toks").alias("a_toks"), bucket.alias("bkt"),
-    )
-    b = t.select(
-        F.col("doc_id").alias("right_id"), "lang", "source",
-        F.col("n_toks").alias("b_toks"),
-        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("bkt"),
-    )
     cand = (
-        a.join(b, ["lang", "source", "bkt"])
-        .filter(
-            (F.abs(F.col("a_toks") - F.col("b_toks")) <= 2)
-            & (F.col("left_id") < F.col("right_id"))
-        )
+        _tokenband_candidate_pairs(t)
         .groupBy("lang", "source")
         .agg(F.count("*").alias("n_candidate_pairs"))
     )

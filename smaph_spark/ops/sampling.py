@@ -118,7 +118,12 @@ def temporal_split(
         df.crossJoin(F.broadcast(cutoff))
         .withColumn(
             "split",
-            F.when(F.col(time_col) <= F.col("cutoff"), F.lit("train"))
+            # NULL timestamps get their own label: both WHEN comparisons
+            # are NULL-false, so an undated row would otherwise fall
+            # through into 'test' — a row of unknown (possibly early)
+            # time contaminating the eval set (round-4 review)
+            F.when(F.col(time_col).isNull(), F.lit("unknown"))
+            .when(F.col(time_col) <= F.col("cutoff"), F.lit("train"))
             .when(F.col(time_col) <= emb_end, F.lit("embargo"))
             .otherwise(F.lit("test")),
         )
@@ -131,7 +136,8 @@ def temporal_split(
     """
     WITH c AS (SELECT quantile_disc(ts, 0.8) AS cutoff FROM events)
     SELECT event_id,
-           CASE WHEN ts <= cutoff THEN 'train'
+           CASE WHEN ts IS NULL THEN 'unknown'
+                WHEN ts <= cutoff THEN 'train'
                 WHEN ts <= cutoff + INTERVAL 1 HOUR THEN 'embargo'
                 ELSE 'test' END AS split
     FROM events, c

@@ -151,17 +151,25 @@ def heavy_hitters(
     driver-side (bounded <= capacity x partitions by construction) so
     the sketch lineage runs exactly once."""
     import math
+    from fractions import Fraction
 
     events = events.filter(F.col(key_col).isNotNull())
     n = events.count()
-    threshold = max(1, math.ceil(min_freq_fraction * n))
+    # EXACT threshold arithmetic: 0.05 * 200 is 10.000000000000002 in
+    # IEEE double and ceil would exclude a key sitting exactly on the
+    # promised boundary — and the DuckDB oracle parses 0.05 as DECIMAL
+    # (exact), so the float path would diverge from it (round-4
+    # review). limit_denominator recovers the intended rational from
+    # the float argument.
+    frac = Fraction(min_freq_fraction).limit_denominator(10**6)
+    threshold = max(1, math.ceil(frac * n))
     # size capacity so n/(k+1) < threshold => every true heavy hitter
     # survives the union of partition summaries
     k = max(1, math.ceil(n / threshold)) + 1
     summaries = mg_partition_summaries(events, key_col, k)
     cand_keys = [
         r[key_col]
-        for r in summaries.groupBy(key_col).agg(F.sum("est")).collect()
+        for r in summaries.select(key_col).distinct().collect()
     ]
     SKETCH_METRICS[metrics_key] = {
         "rows": n, "threshold": threshold, "mg_capacity": k,

@@ -265,6 +265,24 @@ class ERPipeline:
         the thing to keep bucketed on disk between runs).
         """
         cfg = self.cfg
+        # BOTH modes assume history/delta record ids are disjoint (the
+        # union normalize keeps an overlapping record twice, duplicating
+        # its pairs; the O(delta) key union likewise) — verify up front
+        # instead of assuming (round-4 review: the guard must cover the
+        # -inc branch too, not only deltanorm). One narrow semi-join
+        # count, delta ids broadcast.
+        rid = F.xxhash64("repo", "path", "commit").alias("record_id")
+        overlap = history_files.select(rid).join(
+            F.broadcast(new_files.select(rid).distinct()),
+            "record_id", "left_semi",
+        ).count()
+        if overlap:
+            raise ValueError(
+                f"run_incremental: {overlap} record(s) appear in BOTH "
+                "history and the new batch; dedupe the delta against "
+                "history first (e.g. dd07-style digest anti-join) or "
+                "run a full batch"
+            )
         files = history_files.unionByName(new_files)
         # the two modes snapshot DIFFERENT things under s1_normalized
         # (delta-only vs full union) — the mode must be part of the
@@ -312,23 +330,8 @@ class ERPipeline:
             )
 
             def _blocks():
-                # the O(delta) union relies on history/delta record ids
-                # being DISJOINT (per-side dedup covers the union only
-                # then); a delta that re-ingests an existing record
-                # would silently inflate blocks and duplicate pairs —
-                # verify instead of assuming (round-4 review). One
-                # narrow semi-join count, delta ids broadcast.
-                overlap = history_normalized.select("record_id").join(
-                    F.broadcast(new_norm.select("record_id").distinct()),
-                    "record_id", "left_semi",
-                ).count()
-                if overlap:
-                    raise ValueError(
-                        f"run_incremental: {overlap} record(s) appear in "
-                        "BOTH history and the new batch; dedupe the delta "
-                        "against history first (e.g. dd07-style digest "
-                        "anti-join) or run a full batch"
-                    )
+                # (history/delta disjointness already verified at entry,
+                # so the per-side dedup covers the union)
                 delta_keys = generate_blocks(new_norm, cfg)
                 self._metrics["s2_delta_key_rows"] = delta_keys.count()
                 blocks = hist_keys.unionByName(delta_keys)

@@ -267,3 +267,20 @@ def test_temporal_split_leakage_properties(spark):
     assert all(cutoff < t <= cutoff + datetime.timedelta(hours=1) for t in emb_ts)
     # percentile_disc(0.8): 80% of rows at or before the cutoff
     assert abs(len(train_ts) / 500 - 0.8) < 0.01
+
+
+def test_temporal_split_null_timestamps_quarantined(spark):
+    """Undated rows must land in 'unknown', never in 'test' (round-4
+    review: both WHEN comparisons are NULL-false, so they previously
+    fell through into the eval set)."""
+    import datetime
+
+    from smaph_spark.ops.sampling import temporal_split
+
+    base = datetime.datetime(2026, 1, 1)
+    rows = [(i, base + datetime.timedelta(hours=i)) for i in range(50)]
+    rows += [(100 + i, None) for i in range(3)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp_ntz")
+    got = {r["event_id"]: r["split"] for r in temporal_split(df, "ts").collect()}
+    assert all(got[100 + i] == "unknown" for i in range(3))
+    assert set(got.values()) >= {"train", "test", "unknown"}

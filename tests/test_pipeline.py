@@ -429,3 +429,19 @@ def test_incremental_rejects_history_delta_overlap(spark):
             history, overlapping_delta, hist_res.clusters,
             history_normalized=hist_res.normalized,
         )
+
+
+def test_incremental_rejects_overlap_in_both_modes(spark):
+    """Round-4 review: the overlap guard must cover the -inc branch
+    (no history_normalized) too, where union normalization would
+    silently duplicate the overlapping record's pairs."""
+    files_pdf, _, _ = generate_files_corpus(n_clusters=15, seed=717)
+    files = spark.createDataFrame(files_pdf)
+    bucket = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(5))
+    history = files.filter(bucket < 4)
+    overlapping_delta = files.filter(bucket >= 3)
+    hist_res = ERPipeline(spark, ERConfig()).run(history)
+    with pytest.raises(ValueError, match="BOTH history"):
+        ERPipeline(spark, ERConfig()).run_incremental(
+            history, overlapping_delta, hist_res.clusters
+        )
