@@ -658,3 +658,140 @@ def dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_new_texts(
         d.filter(F.col("b") < 8), d.filter(F.col("b") >= 8)
     )
+
+
+# ---------------------------------------------------------------------------
+# dd08: content-defined chunking (CDC) dedup — the storage-dedup /
+# rsync family: chunk boundaries are a function of CONTENT (gear
+# rolling hash), so an insertion shifts only the chunks around the
+# edit and every other chunk hash is preserved — chunk-level sharing
+# catches PARTIAL-file duplication (vendored files with local patches,
+# license headers, copied functions) that whole-file hashing (dd01)
+# misses entirely. Exactly the primitive a 10^12-file CODE corpus
+# needs. Public algorithm: gear-hash CDC (Xia et al., FAST'16 "FastCDC"
+# lineage); no reference-code reuse — the reference has no chunking.
+# ---------------------------------------------------------------------------
+
+def make_cdc_chunk_udf(
+    avg_bits: int = 7, min_size: int = 32, max_size: int = 1024,
+    window: int = 64, seed: int = 0xCDC,
+):
+    """Arrow UDF: text -> array<long> of content-defined chunk hashes.
+
+    The gear rolling hash h_i = sum_{k<window} G[b_{i-k}] << k (mod
+    2^64) is a pure function of the last `window` bytes, so it is
+    computed VECTORIZED: map bytes through the seeded gear table, take
+    a sliding window view, and reduce with per-position shifts — no
+    per-byte Python loop. A position is a cut candidate when the low
+    `avg_bits` bits are zero (expected chunk ~2^avg_bits bytes);
+    min/max size are enforced in a sparse loop over candidates only.
+    Chunk ids are 8-byte blake2b of the chunk bytes (content-addressed,
+    engine/layout independent)."""
+    import hashlib as _hl
+
+    rng = np.random.default_rng(seed)
+    gear = rng.integers(0, 2**63, size=256, dtype=np.uint64)
+    mask = np.uint64((1 << avg_bits) - 1)
+    shifts = np.arange(window - 1, -1, -1, dtype=np.uint64)
+
+    def _chunk_hashes(raw: bytes) -> list[int]:
+        n = len(raw)
+        if n == 0:
+            return []
+        data = np.frombuffer(raw, dtype=np.uint8)
+        g = gear[data]
+        if n >= window:
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            h = (sliding_window_view(g, window) << shifts).sum(
+                axis=1, dtype=np.uint64
+            )
+            # h[j] covers bytes j..j+window-1; cut AFTER byte i means
+            # candidate index i = j + window - 1
+            cand = np.nonzero((h & mask) == 0)[0] + (window - 1)
+        else:
+            cand = np.array([], dtype=np.int64)
+        cuts = []
+        prev = 0
+        ci = 0
+        while prev < n:
+            # next candidate at least min_size past prev, else max_size
+            while ci < len(cand) and cand[ci] + 1 < prev + min_size:
+                ci += 1
+            if ci < len(cand) and cand[ci] + 1 <= prev + max_size:
+                cut = int(cand[ci]) + 1
+                ci += 1
+            else:
+                cut = min(prev + max_size, n)
+            cuts.append(cut)
+            prev = cut
+        out = []
+        prev = 0
+        for cut in cuts:
+            digest = _hl.blake2b(raw[prev:cut], digest_size=8).digest()
+            out.append(int.from_bytes(digest, "big", signed=True))
+            prev = cut
+        return out
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def cdc_chunks(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_chunk_hashes((t or "").encode("utf-8")) for t in texts]
+        )
+
+    return cdc_chunks
+
+
+def cdc_chunk_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc chunk-sharing stats: (doc_id, n_chunks, n_shared_chunks,
+    shared_frac). A chunk is 'shared' when its content hash appears in
+    more than one document — the fraction is the partial-duplication
+    signal chunk-level dedup acts on. Plan: one narrow UDF projection,
+    explode, one hash-agg on chunk_hash (map-side combined), one
+    equi-join back on chunk_hash. No driver data."""
+    chunker = make_cdc_chunk_udf()
+    chunks = (
+        docs.select("doc_id", chunker(F.col(text_col)).alias("chunks"))
+        .select("doc_id", F.explode("chunks").alias("chunk_hash"))
+    )
+    # distinct docs per chunk (a doc repeating its own chunk is not
+    # cross-doc sharing)
+    doc_chunks = chunks.distinct()
+    freq = doc_chunks.groupBy("chunk_hash").agg(
+        F.count("*").alias("n_docs_with_chunk")
+    )
+    per_doc = (
+        doc_chunks.join(freq, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(
+                F.when(F.col("n_docs_with_chunk") > 1, 1).otherwise(0)
+            ).alias("n_shared_chunks"),
+        )
+        .withColumn(
+            "shared_frac",
+            F.round(
+                F.try_divide(
+                    F.col("n_shared_chunks").cast("double"),
+                    F.col("n_chunks").cast("double"),
+                ),
+                4,
+            ),
+        )
+    )
+    return per_doc
+
+
+@register(
+    "dd08_cdc_chunk_stats",
+    None,  # gear-hash chunking UDF — not SQL-expressible; rows-only at
+    # the driver, edit-locality/determinism pytest-pinned
+    survey_ref="content-defined chunking dedup (gear-hash CDC, "
+               "FastCDC-lineage; beyond-reference training-data op — "
+               "partial-file duplication the whole-file hash family "
+               "cannot see)",
+)
+def dd_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.length(F.coalesce("text", F.lit(""))) > 0)
+    return cdc_chunk_stats(d)

@@ -298,3 +298,67 @@ def test_dd04_hamming_values_and_banded_recall(spark):
     target = {k for k, h in exact.items() if h <= 6}
     recall = len(target & set(got)) / len(target) if target else 1.0
     assert recall >= 0.8, f"banded hamming recall {recall:.2f}"
+
+
+# ---------------------------------------------------------------------------
+# dd08: content-defined chunking
+# ---------------------------------------------------------------------------
+
+def test_cdc_edit_locality(spark):
+    """THE CDC property: an insertion near the front shifts every byte
+    offset, yet most chunk hashes survive (fixed-size chunking would
+    lose all of them). Also pins determinism and expected chunk size."""
+    import numpy as np
+
+    from smaph_spark.ops.dedup import make_cdc_chunk_udf
+
+    rng = np.random.default_rng(77)
+    body = bytes(rng.integers(32, 127, size=4000, dtype=np.uint8)).decode("ascii")
+    edited = body[:100] + "INSERTED-PATCH-" + body[100:]
+    df = spark.createDataFrame(
+        [(1, body), (2, edited), (3, body)], "doc_id long, text string"
+    )
+    chunker = make_cdc_chunk_udf()
+    rows = {r["doc_id"]: r["c"] for r in df.select("doc_id", chunker("text").alias("c")).collect()}
+    assert rows[1] == rows[3]  # deterministic
+    a, b = set(rows[1]), set(rows[2])
+    assert len(rows[1]) >= 4  # ~4000 bytes / avg 2^7-ish with max 1024
+    # edit locality: the overwhelming majority of chunks survive the edit
+    shared = len(a & b)
+    assert shared / len(a) >= 0.5, (shared, len(a), len(b))
+    # and the edited doc differs somewhere
+    assert a != b
+
+
+def test_cdc_chunk_stats_layout_independent(spark):
+    """Chunk-sharing stats are content-addressed: identical output
+    across partition layouts, and a planted partial duplicate shows a
+    high shared fraction while an unrelated doc shows zero."""
+    import numpy as np
+
+    from smaph_spark.ops.dedup import cdc_chunk_stats
+
+    rng = np.random.default_rng(88)
+
+    def txt(n, seed):
+        r = np.random.default_rng(seed)
+        return bytes(r.integers(32, 127, size=n, dtype=np.uint8)).decode("ascii")
+
+    base = txt(3000, 1)
+    partial = base[:2000] + txt(1000, 2)   # shares ~2/3 of content
+    other = txt(3000, 3)
+    df = spark.createDataFrame(
+        [(1, base), (2, partial), (3, other)], "doc_id long, text string"
+    )
+    outs = []
+    for parts in (1, 8):
+        rows = {
+            r["doc_id"]: (r["n_chunks"], r["n_shared_chunks"], r["shared_frac"])
+            for r in cdc_chunk_stats(df.repartition(parts)).collect()
+        }
+        outs.append(rows)
+    assert outs[0] == outs[1]
+    rows = outs[0]
+    assert rows[1][2] > 0.3      # base shares a prefix's worth of chunks
+    assert rows[2][2] > 0.3
+    assert rows[3][1] == 0 and rows[3][2] == 0.0  # unrelated: nothing shared
