@@ -45,6 +45,7 @@ HEADLINE = [
     "dd02_ngram_jaccard_pairs",
     "dd05_embedding_dup_pairs",
     "dd07_incremental_new_docs",
+    "dd08_cdc_chunk_stats",
     "sim01_bruteforce_topk",
     "sk01_event_sketch_stats",
     "sk02_heavy_hitters",
