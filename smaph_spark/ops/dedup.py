@@ -795,3 +795,73 @@ def cdc_chunk_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def dd_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(F.length(F.coalesce("text", F.lit(""))) > 0)
     return cdc_chunk_stats(d)
+
+
+def cdc_containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_containment: float = 0.3,
+    cfg: ERConfig | None = None,
+    metrics_query: str = "dd09_cdc_containment_pairs",
+) -> DataFrame:
+    """Candidate duplicate PAIRS from shared CDC chunks: (a_doc, b_doc,
+    n_shared_chunks, containment) where containment = shared /
+    min(|a|, |b|) — the asymmetric-size measure partial-file
+    duplication needs (a file embedded inside a bigger one scores ~1.0
+    where Jaccard dilutes it). The chunk-hash self-join is guarded by
+    the SAME hot-key cap as the LSH band joins (cap_band_keys): a chunk
+    shared by thousands of docs (a common license header) is salted or
+    dropped with logged counts instead of going quadratic — bounded
+    recall, never silent."""
+    cfg = cfg or ERConfig()
+    chunker = make_cdc_chunk_udf()
+    doc_chunks = (
+        docs.select("doc_id", F.explode(chunker(F.col(text_col))).alias("chunk_hash"))
+        .distinct()
+    )
+    sizes = doc_chunks.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    capped, metrics = cap_band_keys(
+        doc_chunks.select("chunk_hash", "doc_id"), cfg, "chunk_hash", "doc_id"
+    )
+    log_cap_metrics(metrics_query, metrics)
+    a = capped.select("chunk_hash", F.col("doc_id").alias("a_doc"))
+    b = capped.select("chunk_hash", F.col("doc_id").alias("b_doc"))
+    pairs = (
+        a.join(b, "chunk_hash")
+        .filter(F.col("a_doc") < F.col("b_doc"))
+        .groupBy("a_doc", "b_doc")
+        .agg(F.count("*").alias("n_shared_chunks"))
+    )
+    na = sizes.select(F.col("doc_id").alias("a_doc"), F.col("n_chunks").alias("a_n"))
+    nb = sizes.select(F.col("doc_id").alias("b_doc"), F.col("n_chunks").alias("b_n"))
+    return (
+        pairs.join(na, "a_doc")
+        .join(nb, "b_doc")
+        .withColumn(
+            "containment",
+            F.round(
+                F.try_divide(
+                    F.col("n_shared_chunks").cast("double"),
+                    F.least("a_n", "b_n").cast("double"),
+                ),
+                4,
+            ),
+        )
+        .filter(F.col("containment") >= min_containment)
+        .select("a_doc", "b_doc", "n_shared_chunks", "containment")
+    )
+
+
+@register(
+    "dd09_cdc_containment_pairs",
+    None,  # CDC chunking UDF inside — rows-only; containment values
+    # pinned vs a brute-force python oracle in tests
+    survey_ref="CDC chunk-sharing containment pairs (beyond-reference "
+               "training-data op; partial-file duplicate candidates "
+               "with hot-chunk capping, dd03-family contract)",
+)
+def dd_cdc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(
+        F.length(F.coalesce("text", F.lit(""))) > 0
+    )
+    return cdc_containment_pairs(d)

@@ -362,3 +362,71 @@ def test_cdc_chunk_stats_layout_independent(spark):
     assert rows[1][2] > 0.3      # base shares a prefix's worth of chunks
     assert rows[2][2] > 0.3
     assert rows[3][1] == 0 and rows[3][2] == 0.0  # unrelated: nothing shared
+
+
+def test_cdc_containment_matches_bruteforce(spark):
+    """dd09 containment == a python brute-force over the same chunk
+    sets (capping effectively off), and the planted partial duplicate
+    scores high where the unrelated doc never pairs."""
+    import numpy as np
+    from dataclasses import replace
+
+    from smaph_spark.config import ERConfig
+    from smaph_spark.ops.dedup import cdc_containment_pairs, make_cdc_chunk_udf
+
+    def txt(n, seed):
+        r = np.random.default_rng(seed)
+        return bytes(r.integers(32, 127, size=n, dtype=np.uint8)).decode("ascii")
+
+    base = txt(3000, 11)
+    embedded = base[:2500] + txt(4000, 12)   # base's prefix inside a bigger doc
+    other = txt(3000, 13)
+    df = spark.createDataFrame(
+        [(1, base), (2, embedded), (3, other)], "doc_id long, text string"
+    )
+    cfg = replace(ERConfig(), max_block_size=10_000)
+    got = {
+        (r["a_doc"], r["b_doc"]): (r["n_shared_chunks"], r["containment"])
+        for r in cdc_containment_pairs(df, min_containment=0.0, cfg=cfg).collect()
+    }
+    # brute force from the same chunker
+    chunker = make_cdc_chunk_udf()
+    sets = {
+        r["doc_id"]: set(r["c"])
+        for r in df.select("doc_id", chunker("text").alias("c")).collect()
+    }
+    for (a, b), (n_shared, cont) in got.items():
+        inter = len(sets[a] & sets[b])
+        assert n_shared == inter
+        assert cont == round(inter / min(len(sets[a]), len(sets[b])), 4)
+    assert got[(1, 2)][1] >= 0.5          # embedded prefix -> high containment
+    assert (1, 3) not in got or got[(1, 3)][0] == 0
+    assert (2, 3) not in got or got[(2, 3)][0] == 0
+
+
+def test_cdc_containment_hot_chunk_capped_and_logged(spark):
+    """A chunk shared by every doc (license-header analogue) must be
+    salted/dropped with logged counts, not joined quadratically."""
+    import numpy as np
+    from dataclasses import replace
+
+    from smaph_spark.config import ERConfig
+    from smaph_spark.ops.dedup import CAP_METRICS, cdc_containment_pairs
+
+    # a long SHARED random prefix: content-defined boundaries fall
+    # inside it, so every doc carries the same ~dozen prefix chunks
+    # (a constant-byte run would never cut and produce no shared chunk)
+    hdr_rng = np.random.default_rng(20)
+    header = bytes(hdr_rng.integers(32, 127, size=2000, dtype=np.uint8)).decode("ascii")
+    rng = np.random.default_rng(21)
+    rows = [
+        (i, header + bytes(rng.integers(32, 127, size=2000, dtype=np.uint8)).decode("ascii"))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = replace(ERConfig(), max_block_size=5, block_salt_buckets=2)
+    cdc_containment_pairs(
+        df, min_containment=0.0, cfg=cfg, metrics_query="dd09test"
+    ).collect()
+    m = CAP_METRICS["dd09test"]
+    assert m["salted_band_keys"] + m["dropped_band_keys"] > 0
