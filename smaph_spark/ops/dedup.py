@@ -67,9 +67,16 @@ def cap_band_keys(
     dropped — both logged in the returned metrics frame (block_key,
     n_records, action), never silently. Salting trades bounded recall
     for a hard O(max_block_size²) per-band pair bound, same contract as
-    the ER blocking stage."""
+    the ER blocking stage.
+
+    The key is cast to STRING up front: cap_and_salt_blocks builds the
+    salted key as `key#bucket`, and with a non-string key (dd09's long
+    chunk hashes) ANSI type coercion would resolve the when/otherwise
+    to the key's type and throw CAST_INVALID_INPUT the moment any key
+    actually lands in the salted band (round-4 review — reproduced)."""
     blocks = keys.select(
-        F.col(key_col).alias("block_key"), F.col(id_col).alias("record_id")
+        F.col(key_col).cast("string").alias("block_key"),
+        F.col(id_col).alias("record_id"),
     )
     salted, metrics = cap_and_salt_blocks(blocks, cfg)
     return (
@@ -701,11 +708,14 @@ def make_cdc_chunk_udf(
         data = np.frombuffer(raw, dtype=np.uint8)
         g = gear[data]
         if n >= window:
-            from numpy.lib.stride_tricks import sliding_window_view
-
-            h = (sliding_window_view(g, window) << shifts).sum(
-                axis=1, dtype=np.uint64
-            )
+            # h[j] = sum_k g[j+k] << (window-1-k): 64 shifted adds keep
+            # memory O(n) — a sliding_window_view materializes an
+            # (n, 64) uint64 temp, 512 B per input byte, which OOMs the
+            # python worker on multi-MB files (round-4 review)
+            m = n - window + 1
+            h = np.zeros(m, dtype=np.uint64)
+            for k in range(window):
+                h += g[k : m + k] << np.uint64(window - 1 - k)
             # h[j] covers bytes j..j+window-1; cut AFTER byte i means
             # candidate index i = j + window - 1
             cand = np.nonzero((h & mask) == 0)[0] + (window - 1)
@@ -755,8 +765,14 @@ def cdc_chunk_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .select("doc_id", F.explode("chunks").alias("chunk_hash"))
     )
     # distinct docs per chunk (a doc repeating its own chunk is not
-    # cross-doc sharing)
-    doc_chunks = chunks.distinct()
+    # cross-doc sharing). PERSIST before fanning out to the freq agg
+    # and the join side: without it every branch re-runs the chunker
+    # UDF over the full corpus (round-4 review: 4 ArrowEvalPython nodes
+    # in the plan, exchange reuse did not kick in under AQE). The
+    # (long, long) cache is tiny next to the text it derives from; the
+    # eager checkpoint of the per-doc result lets it be released before
+    # returning (same lifecycle as similarity._count_candidates_and_release).
+    doc_chunks = chunks.distinct().persist()
     freq = doc_chunks.groupBy("chunk_hash").agg(
         F.count("*").alias("n_docs_with_chunk")
     )
@@ -779,7 +795,8 @@ def cdc_chunk_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 4,
             ),
         )
-    )
+    ).localCheckpoint(eager=True)
+    doc_chunks.unpersist()
     return per_doc
 
 
@@ -818,6 +835,11 @@ def cdc_containment_pairs(
     doc_chunks = (
         docs.select("doc_id", F.explode(chunker(F.col(text_col))).alias("chunk_hash"))
         .distinct()
+        # persisted: five consumers (sizes agg, cap counts + join, both
+        # self-join sides) would otherwise each re-run the chunker UDF
+        # over the full corpus (round-4 review); released after the
+        # eager checkpoint of the pair result below
+        .persist()
     )
     sizes = doc_chunks.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
     capped, metrics = cap_band_keys(
@@ -834,7 +856,7 @@ def cdc_containment_pairs(
     )
     na = sizes.select(F.col("doc_id").alias("a_doc"), F.col("n_chunks").alias("a_n"))
     nb = sizes.select(F.col("doc_id").alias("b_doc"), F.col("n_chunks").alias("b_n"))
-    return (
+    result = (
         pairs.join(na, "a_doc")
         .join(nb, "b_doc")
         .withColumn(
@@ -849,7 +871,9 @@ def cdc_containment_pairs(
         )
         .filter(F.col("containment") >= min_containment)
         .select("a_doc", "b_doc", "n_shared_chunks", "containment")
-    )
+    ).localCheckpoint(eager=True)
+    doc_chunks.unpersist()
+    return result
 
 
 @register(

@@ -429,4 +429,15 @@ def test_cdc_containment_hot_chunk_capped_and_logged(spark):
         df, min_containment=0.0, cfg=cfg, metrics_query="dd09test"
     ).collect()
     m = CAP_METRICS["dd09test"]
-    assert m["salted_band_keys"] + m["dropped_band_keys"] > 0
+    assert m["dropped_band_keys"] > 0  # 30 docs/chunk > drop limit 10
+
+    # SALTED band (count in (max_block_size, drop_limit]) — the branch
+    # that used to throw CAST_INVALID_INPUT on long keys under ANSI
+    # coercion (round-4 review): must execute AND log, not crash
+    df8 = spark.createDataFrame(rows[:8], "doc_id long, text string")
+    out = cdc_containment_pairs(
+        df8, min_containment=0.0, cfg=cfg, metrics_query="dd09salt"
+    ).collect()
+    ms = CAP_METRICS["dd09salt"]
+    assert ms["salted_band_keys"] > 0 and ms["dropped_band_keys"] == 0
+    assert out  # pairs still produced from the salted sub-buckets
