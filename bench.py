@@ -46,6 +46,7 @@ HEADLINE = [
     "dd05_embedding_dup_pairs",
     "dd07_incremental_new_docs",
     "dd08_cdc_chunk_stats",
+    "dd09_cdc_containment_pairs",
     "sim01_bruteforce_topk",
     "sk01_event_sketch_stats",
     "sk02_heavy_hitters",
