@@ -78,6 +78,25 @@ def _staged_events_dir(spark: SparkSession, sf_dir: str) -> str:
     return _STAGE_CACHE[key]
 
 
+class _utc_session:
+    """Pin the session timezone to UTC for the duration of a streaming
+    run. Watermarks need TIMESTAMP (LTZ), so the NTZ driver columns are
+    cast — in a session with a fractional-hour timezone (+05:30) the
+    tumbling-window boundaries would shift 30 minutes off the oracle's
+    wall-clock date_trunc. The guard is safe to restore immediately
+    after because _drain_sink materializes eagerly."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.session.timeZone")
+        self.spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.session.timeZone", self.prev)
+
+
 def _drain_sink(spark: SparkSession, name: str, cols: list[str]) -> DataFrame:
     """Materialize the memory sink's rows and DROP the temp view:
     each invocation registers a fresh sink table that would otherwise
@@ -101,15 +120,16 @@ def _drain_sink(spark: SparkSession, name: str, cols: list[str]) -> DataFrame:
                "emitted hash set is exactly DISTINCT",
 )
 def st_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    src = _staged_documents_dir(spark, sf_dir)
-    schema = spark.read.parquet(src).schema
-    # ts spans |docs| seconds; "3650 days" keeps every hash's dedup
-    # state live for the whole bounded run — exact DISTINCT semantics.
-    # (Production tuning trades that horizon for bounded state.)
-    stream = streaming_exact_dedup(spark, src, schema, watermark="3650 days")
-    name = f"st01_sink_{next(_SINK_IDS)}"
-    run_to_memory(stream, name)
-    return _drain_sink(spark, name, ["text_md5"])
+    with _utc_session(spark):
+        src = _staged_documents_dir(spark, sf_dir)
+        schema = spark.read.parquet(src).schema
+        # ts spans |docs| seconds; "3650 days" keeps every hash's dedup
+        # state live for the whole bounded run — exact DISTINCT
+        # semantics. (Production tuning trades horizon for state.)
+        stream = streaming_exact_dedup(spark, src, schema, watermark="3650 days")
+        name = f"st01_sink_{next(_SINK_IDS)}"
+        run_to_memory(stream, name)
+        return _drain_sink(spark, name, ["text_md5"])
 
 
 @register(
@@ -120,11 +140,12 @@ def st_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                "output mode == batch on bounded input",
 )
 def st_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    src = _staged_events_dir(spark, sf_dir)
-    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    stream = streaming_hourly_event_counts(spark, src, schema)
-    name = f"st02_sink_{next(_SINK_IDS)}"
-    run_to_memory(stream, name, output_mode="complete")
-    return _drain_sink(
-        spark, name, ["hour_start", "event_type", "n", "sum_value"]
-    )
+    with _utc_session(spark):
+        src = _staged_events_dir(spark, sf_dir)
+        schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+        stream = streaming_hourly_event_counts(spark, src, schema)
+        name = f"st02_sink_{next(_SINK_IDS)}"
+        run_to_memory(stream, name, output_mode="complete")
+        return _drain_sink(
+            spark, name, ["hour_start", "event_type", "n", "sum_value"]
+        )

@@ -641,3 +641,21 @@ def test_sim03_sim04_scan_metrics_populated(spark):
     assert pq["scan_fraction"] == 1.0 and pq["rerank_shortlist"] == 64
     assert pq["code_bits_per_vector"] == 64  # 16 subspaces x 4 bits
     assert pq["codebook_source"] in ("artifact", "trained")
+
+
+def test_streaming_gate_robust_to_session_timezone(spark):
+    """st02 casts NTZ->LTZ for the watermark; in a fractional-offset
+    session timezone the tumbling windows would shift off the oracle's
+    wall-clock hours — the gate queries must pin UTC for the run and
+    restore the caller's setting afterward."""
+    from smaph_spark.plans.star_queries import QUERIES
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")  # +05:30
+        rows = QUERIES["st02_streaming_hourly_counts"].fn(spark, SF).collect()
+        assert spark.conf.get("spark.sql.session.timeZone") == "Asia/Kolkata"
+        # whole-hour wall-clock boundaries, exactly the oracle's shape
+        assert rows and all(r["hour_start"].endswith(":00:00") for r in rows)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
