@@ -648,6 +648,7 @@ def test_streaming_gate_robust_to_session_timezone(spark):
     session timezone the tumbling windows would shift off the oracle's
     wall-clock hours — the gate queries must pin UTC for the run and
     restore the caller's setting afterward."""
+    from smaph_spark.ops import streaming_gate  # noqa: F401 — registers st01/st02
     from smaph_spark.plans.star_queries import QUERIES
 
     prev = spark.conf.get("spark.sql.session.timeZone")
@@ -659,3 +660,19 @@ def test_streaming_gate_robust_to_session_timezone(spark):
         assert rows and all(r["hour_start"].endswith(":00:00") for r in rows)
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_streaming_gate_drops_sink_views(spark):
+    """Regression for the round-4 memory-sink leak: repeated st01/st02
+    invocations must not accumulate temp views (each held its full
+    result in driver memory for the session lifetime)."""
+    from smaph_spark.ops import streaming_gate  # noqa: F401 — registers st01/st02
+    from smaph_spark.plans.star_queries import QUERIES
+
+    before = {t.name for t in spark.catalog.listTables()}
+    r1 = QUERIES["st01_streaming_exact_dedup"].fn(spark, SF)
+    r2 = QUERIES["st01_streaming_exact_dedup"].fn(spark, SF)
+    after = {t.name for t in spark.catalog.listTables()}
+    assert not {t for t in after - before if t.startswith("st01_sink")}
+    # results stay readable after the view drop (eagerly materialized)
+    assert r1.count() == r2.count() > 0
