@@ -43,11 +43,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # anyway (tests/test_ops.py, test_dedup_scale.py, test_er_docs.py).
 _DRIVER_WINDOW = 50
 
+# ROTATION POLICY (round-4 VERDICT item 8): the window now holds
+# exactly 50 oracle-paired queries — adding a new oracle-paired query
+# REQUIRES retiring one first (demote its sql to None, keeping the
+# parity pinned by a pytest DuckDB twin in tests/test_oracle_parity.py,
+# and note the swap here). Retire in this order: (1) a query whose
+# operator is already hash-pinned by another window row over the same
+# code path (e.g. q06/q07 both pin ranked-window + ties), then (2) the
+# oldest pure-SQL star query with no smaph_spark operator behind it.
+# test_oracle_paired_queries_inside_driver_window FAILS (not warns) on
+# overflow, so a forgotten rotation cannot silently drop driver rows.
+
 _ROWS_ONLY_PRIORITY = [
-    # er04 first: its membership-level row is the round-3 VERDICT item-2
-    # deliverable, and er01's pipeline is already executed at the gate
-    # by entry() (plus er04 == er01 row-equality is pytest-pinned)
-    "er04_incremental_clusters",
+    # er01 first: the flagship membership rows; its pipeline is already
+    # executed at the gate by entry() (er04 moved INTO the window in
+    # round 5 with the er03-CTE oracle — incremental == batch)
     "er01_document_clusters",
     "er02_document_match_pairs",
     # one representative per approximate family

@@ -28,6 +28,24 @@ from pyspark.sql import functions as F
 from smaph_spark.config import ERConfig
 
 
+def history_pseudo_edges(history_clusters: DataFrame) -> DataFrame:
+    """history_clusters(record_id, cluster_id) -> canonicalized
+    (left_id, right_id) pseudo-edges that re-encode an already-resolved
+    clustering for a later CC run. Each member links to its cluster's
+    canonical id, so the transitive closure of the pseudo-edges equals
+    the original components — THE incremental fold: union these with
+    the delta-touching match edges and re-run CC, and a new record
+    bridging two old clusters merges them exactly as a full-batch run
+    would. Shared by ERPipeline.run_incremental and the er04 gate query
+    (round-4 review: the fold must live once)."""
+    return history_clusters.filter(
+        F.col("record_id") != F.col("cluster_id")
+    ).select(
+        F.least("record_id", "cluster_id").alias("left_id"),
+        F.greatest("record_id", "cluster_id").alias("right_id"),
+    )
+
+
 def connected_components(
     matches: DataFrame, cfg: ERConfig, all_records: DataFrame | None = None
 ) -> tuple[DataFrame, list[dict]]:

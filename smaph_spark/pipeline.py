@@ -28,7 +28,9 @@ from pyspark.sql import functions as F
 
 from smaph_spark.config import ERConfig
 from smaph_spark.operators.blocking import cap_and_salt_blocks, generate_blocks
-from smaph_spark.operators.clustering import connected_components
+from smaph_spark.operators.clustering import (
+    connected_components, history_pseudo_edges,
+)
 from smaph_spark.operators.normalize import normalize_files
 from smaph_spark.operators.pairs import attach_pair_features, generate_pairs
 from smaph_spark.operators.scoring import filter_matches, gbt_score, rule_score
@@ -387,12 +389,7 @@ class ERPipeline:
         def _clusters():
             # history cluster memberships ride into CC as pseudo-edges;
             # canonicalized (min, max) like every match pair
-            old_edges = history_clusters.filter(
-                F.col("record_id") != F.col("cluster_id")
-            ).select(
-                F.least("record_id", "cluster_id").alias("left_id"),
-                F.greatest("record_id", "cluster_id").alias("right_id"),
-            )
+            old_edges = history_pseudo_edges(history_clusters)
             edges = matches.select("left_id", "right_id").unionByName(old_edges)
             clusters, history = connected_components(
                 edges, cfg, all_records=normalized

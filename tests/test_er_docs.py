@@ -156,18 +156,36 @@ def test_er04_incremental_equals_full_flagship(spark):
     inc_set = {(r["record_id"], r["cluster_id"]) for r in inc.clusters.collect()}
     assert inc_set == full_set
 
-    # er04 emits membership-level rows (round-3 VERDICT item 2): they
-    # must be EXACTLY er01's — the incremental path resolves the same
-    # corpus, so canonical docs, sizes, and member lists all agree
-    er04_rows = {
+    # the MinHash+GBT incremental flagship emits membership-level rows
+    # (round-3 VERDICT item 2): they must be EXACTLY er01's — the
+    # incremental path resolves the same corpus, so canonical docs,
+    # sizes, and member lists all agree
+    inc_rows = {
         (r["canonical_doc"], r["cluster_size"], r["member_docs"])
-        for r in QUERIES["er04_incremental_clusters"].fn(spark, SF).collect()
+        for r in er_docs.incremental_minhash_membership(spark, SF).collect()
     }
     er01_rows = {
         (r["canonical_doc"], r["cluster_size"], r["member_docs"])
         for r in QUERIES["er01_document_clusters"].fn(spark, SF).collect()
     }
-    assert er04_rows == er01_rows
+    assert inc_rows == er01_rows
+
+
+def test_er04_incremental_equals_batch_tokenband(spark):
+    """er04 (round-4 VERDICT item 1): the incremental fold over the
+    deterministic token-band graph — history CC, then O(delta) edges +
+    history pseudo-edges — must reproduce er03's batch clustering
+    row-for-row; the driver additionally hash-pins it against the
+    recursive-CTE DuckDB oracle."""
+    er04_rows = {
+        tuple(r) for r in
+        QUERIES["er04_incremental_clusters"].fn(spark, SF).collect()
+    }
+    er03_rows = {
+        tuple(r) for r in
+        QUERIES["er03_tokenband_graph_clusters"].fn(spark, SF).collect()
+    }
+    assert er04_rows == er03_rows
 
 
 def test_er05_blocking_quality_invariants(spark):
