@@ -498,7 +498,9 @@ def pq_topk(
     per-call training sample + Lloyd fit (round-3 VERDICT item 4: the
     codebook is a model artifact like the GBT scorer, not a per-query
     cost). On mismatch/missing artifact the codebooks are retrained
-    from a deterministic sample and re-saved best-effort."""
+    from a deterministic sample IN-MEMORY only — never saved here
+    (round-4 ADVICE: scripts/train_pq_codebook.py is the sole artifact
+    writer, so querying a different-dim dataset can't clobber it)."""
     from pyspark.sql import Window as W
 
     spark = e.sparkSession
@@ -516,13 +518,12 @@ def pq_topk(
             if books is not None:
                 codebook_source = "artifact"
     if books is None:
+        # retrain IN-MEMORY only (round-4 ADVICE): writing here would
+        # let a query over a different-dim dataset silently overwrite
+        # the committed artifact at query time — scripts/
+        # train_pq_codebook.py is the sole writer of codebook_path
         train_mat = pq_training_sample(en, train_sample)
         books = train_pq_codebooks(train_mat, m=m, n_centroids=n_centroids)
-        if codebook_path is not None:
-            try:
-                save_pq_codebooks(books, codebook_path)
-            except OSError:
-                pass  # read-only checkout: keep the in-memory codebooks
     dim = books.shape[0] * books.shape[2]
     b_books = spark.sparkContext.broadcast(books)
     sub = dim // m

@@ -116,8 +116,20 @@ def mg_partition_summaries(df: DataFrame, key_col: str, k: int) -> DataFrame:
     """One Misra-Gries summary per PARTITION (<= k counters each):
     mapInPandas hands the whole partition as a batch iterator, so a
     single dict spans it; per batch the update is a vectorized
-    value_counts merge + one reduce, not per-row Python."""
+    value_counts merge + one reduce, not per-row Python.
+
+    The summary's key column keeps the INPUT column's dataType
+    (round-4 ADVICE: a hardcoded string schema broke non-string keys
+    at Arrow conversion and made the downstream exact-count isin()
+    compare strings against the native column)."""
     import pandas as pd
+    from pyspark.sql import types as T
+
+    key_type = df.schema[key_col].dataType
+    out_schema = T.StructType([
+        T.StructField(key_col, key_type),
+        T.StructField("est", T.LongType()),
+    ])
 
     def op(batches):
         counters: dict = {}
@@ -130,7 +142,7 @@ def mg_partition_summaries(df: DataFrame, key_col: str, k: int) -> DataFrame:
                 {key_col: list(counters), "est": list(counters.values())}
             )
 
-    return df.select(key_col).mapInPandas(op, schema=f"{key_col} string, est long")
+    return df.select(key_col).mapInPandas(op, schema=out_schema)
 
 
 def heavy_hitters(

@@ -48,10 +48,27 @@ _STAGE_CACHE: dict[tuple, str] = {}
 _SINK_IDS = count()
 
 
+def _stage_dir(kind: str, sf_dir: str) -> str:
+    """DETERMINISTIC stage path keyed by (kind, sf_dir) — round-4
+    ADVICE: mkdtemp-per-session accumulated a corpus copy in /tmp for
+    every gate run on a long-lived host; a reusable path makes re-runs
+    overwrite instead. Collision across concurrent sessions over the
+    same sf_dir is benign (same content, parquet overwrite is
+    directory-atomic enough for this single-host gate shim)."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    stage = os.path.join(
+        tempfile.gettempdir(), f"smaph_stage_{kind}_{tag}"
+    )
+    os.makedirs(stage, exist_ok=True)
+    return stage
+
+
 def _staged_documents_dir(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), "docs")
     if key not in _STAGE_CACHE:
-        stage = tempfile.mkdtemp(prefix="smaph_st01_docs_")
+        stage = _stage_dir("docs", sf_dir)
         load(spark, sf_dir, "documents").select(
             "doc_id",
             "text",
@@ -67,12 +84,15 @@ def _staged_documents_dir(spark: SparkSession, sf_dir: str) -> str:
 def _staged_events_dir(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), "events")
     if key not in _STAGE_CACHE:
-        stage = tempfile.mkdtemp(prefix="smaph_st02_events_")
+        stage = _stage_dir("events", sf_dir)
+        link = os.path.join(stage, "events.parquet")
         # absolute target: a relative sf_dir would resolve relative to
-        # the /tmp stage dir and dangle (round-4 review)
+        # the /tmp stage dir and dangle (round-4 review). The stage dir
+        # is reused across sessions, so replace a pre-existing link.
+        if os.path.islink(link) or os.path.exists(link):
+            os.remove(link)
         os.symlink(
-            os.path.abspath(os.path.join(sf_dir, "events.parquet")),
-            os.path.join(stage, "events.parquet"),
+            os.path.abspath(os.path.join(sf_dir, "events.parquet")), link
         )
         _STAGE_CACHE[key] = stage
     return _STAGE_CACHE[key]

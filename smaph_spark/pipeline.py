@@ -235,6 +235,8 @@ class ERPipeline:
         new_files: DataFrame,
         history_clusters: DataFrame,
         history_normalized: DataFrame | None = None,
+        history_ids: DataFrame | None = None,
+        skip_overlap_check: bool = False,
     ) -> PipelineResult:
         """Resolve a NEW batch against an already-resolved history —
         the production mode of a continuously-ingesting ER deployment.
@@ -272,19 +274,32 @@ class ERPipeline:
         # its pairs; the O(delta) key union likewise) — verify up front
         # instead of assuming (round-4 review: the guard must cover the
         # -inc branch too, not only deltanorm). One narrow semi-join
-        # count, delta ids broadcast.
+        # count, delta ids broadcast. The default scans history_files
+        # once per delta batch, which partially offsets the O(delta)
+        # win on large histories (round-4 ADVICE) — callers that
+        # maintain a history id index (dd07-style digest table, or the
+        # snapshotted s2_history_keys) pass it as ``history_ids``
+        # (DataFrame with record_id), and callers that already
+        # anti-joined the delta against history set
+        # ``skip_overlap_check=True``.
         rid = F.xxhash64("repo", "path", "commit").alias("record_id")
-        overlap = history_files.select(rid).join(
-            F.broadcast(new_files.select(rid).distinct()),
-            "record_id", "left_semi",
-        ).count()
-        if overlap:
-            raise ValueError(
-                f"run_incremental: {overlap} record(s) appear in BOTH "
-                "history and the new batch; dedupe the delta against "
-                "history first (e.g. dd07-style digest anti-join) or "
-                "run a full batch"
+        if not skip_overlap_check:
+            hist_ids = (
+                history_ids.select("record_id")
+                if history_ids is not None
+                else history_files.select(rid)
             )
+            overlap = hist_ids.join(
+                F.broadcast(new_files.select(rid).distinct()),
+                "record_id", "left_semi",
+            ).count()
+            if overlap:
+                raise ValueError(
+                    f"run_incremental: {overlap} record(s) appear in BOTH "
+                    "history and the new batch; dedupe the delta against "
+                    "history first (e.g. dd07-style digest anti-join) or "
+                    "run a full batch"
+                )
         files = history_files.unionByName(new_files)
         # the two modes snapshot DIFFERENT things under s1_normalized
         # (delta-only vs full union) — the mode must be part of the

@@ -584,9 +584,12 @@ def test_pq_derives_dim_from_data(spark):
 
 
 def test_pq_codebook_artifact_roundtrip_and_mismatch_retrain(spark, tmp_path):
-    """Round-3 VERDICT item 4: the PQ codebook is a model artifact —
-    loaded when the (m, n_centroids, dim) fingerprint matches, retrained
-    (and re-saved) when it does not."""
+    """Round-3 VERDICT item 4 + round-4 ADVICE: the PQ codebook is a
+    model artifact — loaded when the (m, n_centroids, dim) fingerprint
+    matches, retrained IN-MEMORY when it does not. Query-time retrains
+    never write: only scripts/train_pq_codebook.py (save_pq_codebooks)
+    owns the artifact, so a query over a different-dim dataset cannot
+    overwrite the committed codebook."""
     import numpy as np
 
     from smaph_spark.ops.similarity import (
@@ -599,11 +602,20 @@ def test_pq_codebook_artifact_roundtrip_and_mismatch_retrain(spark, tmp_path):
     e = spark.createDataFrame(rows, "vec_id long, emb array<double>")
     path = str(tmp_path / "pq")
 
-    # 1) first call: no artifact -> trains and saves
+    # 1) first call: no artifact -> trains in-memory, writes NOTHING
     out1 = pq_topk(e, F.col("vec_id") < 3, k=3, codebook_path=path,
                    metrics_key="pqtest").collect()
     assert SCAN_METRICS["pqtest"]["codebook_source"] == "trained"
-    assert load_pq_codebooks(path, m=16, n_centroids=16, dim=64) is not None
+    assert load_pq_codebooks(path, m=16, n_centroids=16, dim=64) is None
+
+    # the trainer script's path is the sole writer — same preprocessing
+    # + sample recipe as pq_topk's retrain, so the codebooks match
+    from smaph_spark.ops.similarity import (
+        normalize_embeddings, pq_training_sample,
+    )
+
+    mat = pq_training_sample(normalize_embeddings(e), 2048)
+    save_pq_codebooks(train_pq_codebooks(mat, m=16, n_centroids=16), path)
 
     # 2) second call: fingerprint matches -> loads the artifact,
     #    result identical (codebooks are deterministic either way)
@@ -614,14 +626,17 @@ def test_pq_codebook_artifact_roundtrip_and_mismatch_retrain(spark, tmp_path):
     assert key(out1) == key(out2)
 
     # 3) mismatched artifact (wrong dim) -> refuses the load, retrains
+    #    in-memory, and leaves the on-disk artifact UNTOUCHED
     wrong = train_pq_codebooks(rng.standard_normal((100, 32)), m=16, n_centroids=16)
     save_pq_codebooks(wrong, path)
     assert load_pq_codebooks(path, m=16, n_centroids=16, dim=64) is None
     pq_topk(e, F.col("vec_id") < 3, k=3, codebook_path=path,
             metrics_key="pqtest").collect()
     assert SCAN_METRICS["pqtest"]["codebook_source"] == "trained"
-    # and the retrain re-saved a matching artifact
-    assert load_pq_codebooks(path, m=16, n_centroids=16, dim=64) is not None
+    # the wrong-dim artifact is still there, byte-identical intent:
+    # loadable under ITS fingerprint, not replaced by a 64-dim one
+    assert load_pq_codebooks(path, m=16, n_centroids=16, dim=32) is not None
+    assert load_pq_codebooks(path, m=16, n_centroids=16, dim=64) is None
 
 
 def test_sim03_sim04_scan_metrics_populated(spark):

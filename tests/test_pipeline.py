@@ -445,3 +445,35 @@ def test_incremental_rejects_overlap_in_both_modes(spark):
         ERPipeline(spark, ERConfig()).run_incremental(
             history, overlapping_delta, hist_res.clusters
         )
+
+
+def test_incremental_overlap_guard_index_and_skip(spark):
+    """Round-4 ADVICE: the disjointness guard must not force a full
+    history rescan per delta batch — a caller-maintained id index
+    (dd07-style) drives the same check, and a caller that already
+    anti-joined the delta can skip it entirely."""
+    files_pdf, _, _ = generate_files_corpus(n_clusters=15, seed=808)
+    files = spark.createDataFrame(files_pdf)
+    bucket = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(5))
+    history = files.filter(bucket < 4)
+    overlapping_delta = files.filter(bucket >= 3)
+    clean_delta = files.filter(bucket >= 4)
+    hist_res = ERPipeline(spark, ERConfig()).run(history)
+    hist_index = history.select(
+        F.xxhash64("repo", "path", "commit").alias("record_id")
+    )
+    # the precomputed index catches the overlap like the full scan did
+    with pytest.raises(ValueError, match="BOTH history"):
+        ERPipeline(spark, ERConfig()).run_incremental(
+            history, overlapping_delta, hist_res.clusters,
+            history_normalized=hist_res.normalized,
+            history_ids=hist_index,
+        )
+    # skip flag: the overlapping delta sails through the guard (caller
+    # owns disjointness), and a genuinely clean delta still resolves
+    res = ERPipeline(spark, ERConfig()).run_incremental(
+        history, clean_delta, hist_res.clusters,
+        history_normalized=hist_res.normalized,
+        skip_overlap_check=True,
+    )
+    assert res.clusters.count() == files.count()

@@ -234,3 +234,17 @@ def test_heavy_hitters_ignores_null_keys(spark):
     got = heavy_hitters(df, min_freq_fraction=0.5, metrics_key="sk02null").collect()
     assert SKETCH_METRICS["sk02null"]["rows"] == 50  # non-null only
     assert [(r["event_type"], r["n"]) for r in got] == [("hot", 30)]
+
+
+def test_heavy_hitters_non_string_key(spark):
+    """Round-4 ADVICE: the MG summary schema must follow the key
+    column's dataType — a bigint key column must survive the sketch
+    pass and the exact-count isin() without stringification."""
+    from smaph_spark.ops.sketches import heavy_hitters
+
+    rows = [(7,)] * 40 + [(int(i),) for i in range(60)]
+    df = spark.createDataFrame(rows, "user_id bigint")
+    got = heavy_hitters(df, key_col="user_id", min_freq_fraction=0.3,
+                        metrics_key="sk02long").collect()
+    assert [(r["user_id"], r["n"]) for r in got] == [(7, 41)]
+    assert got[0].asDict()["user_id"] == 7 and isinstance(got[0]["user_id"], int)
