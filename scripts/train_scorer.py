@@ -26,6 +26,14 @@ def main() -> None:
     ap.add_argument("--tune", action="store_true",
                     help="run the CV grid + feature-subset tune (slower)")
     ap.add_argument("--out", default=os.path.join(REPO, "models", "gbt_scorer"))
+    ap.add_argument("--model-family", choices=("gbt", "linear"), default="gbt",
+                    help="'linear' trains the LibLinearModel-analogue "
+                         "logistic baseline instead of the GBT")
+    ap.add_argument("--normalizer", choices=("zscore", "minmax"),
+                    default="zscore",
+                    help="sidecar stats family; for --model-family linear "
+                         "also the in-pipeline scaler "
+                         "(ScaleFeatureNormalizer analogue = minmax)")
     args = ap.parse_args()
 
     from smaph_spark.operators.model_io import save_scorer, train_default_scorer
@@ -38,9 +46,11 @@ def main() -> None:
     # record the config in scorer_meta.json so loaders can verify
     spark = get_spark("train_scorer")
     model, threshold, stats, report = train_default_scorer(
-        spark, cfg=_DOC_CFG, tune=args.tune
+        spark, cfg=_DOC_CFG, tune=args.tune,
+        model_family=args.model_family, normalizer=args.normalizer,
     )
-    save_scorer(model, args.out, threshold, stats, train_cfg=_DOC_CFG)
+    save_scorer(model, args.out, threshold, stats, train_cfg=_DOC_CFG,
+                normalizer_kind=args.normalizer)
     print(json.dumps({"out": args.out, "threshold": threshold,
                       "report": report}, indent=1, default=str))
     spark.stop()

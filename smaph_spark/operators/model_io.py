@@ -37,19 +37,24 @@ from smaph_spark.operators.pairs import FEATURE_COLS
 
 def save_scorer(
     model, path: str, threshold: float, zscore_stats: dict | None = None,
-    train_cfg: ERConfig | None = None,
+    train_cfg: ERConfig | None = None, normalizer_kind: str = "zscore",
 ) -> None:
-    """Persist (model, threshold, zscore table) as one directory:
+    """Persist (model, threshold, normalizer table) as one directory:
     ``<path>/model`` (Spark ML native) + ``<path>/scorer_meta.json``
     (the .zscore-file analogue). ``train_cfg`` records the config the
     training features were generated under — its feature fingerprint
     lets loaders detect train/serve skew (round-2 ADVICE: a scorer fit
     on shingle_k=7 features was silently applied to shingle_k=5
-    features)."""
+    features). ``normalizer_kind`` records which normalizer family the
+    stats table belongs to ('zscore' | 'minmax' — the reference ships
+    both ZScoreFeatureNormalizer and ScaleFeatureNormalizer); the
+    stats stay under the legacy 'zscore' meta key so existing
+    artifacts keep loading."""
     model.write().overwrite().save(os.path.join(path, "model"))
     meta = {
         "threshold": threshold,
         "zscore": {k: list(v) for k, v in (zscore_stats or {}).items()},
+        "normalizer_kind": normalizer_kind,
         "feature_cols": _model_feature_cols(model),
     }
     if train_cfg is not None:
@@ -62,7 +67,9 @@ def save_scorer(
 
 
 def load_scorer(path: str):
-    """Returns (PipelineModel, threshold, zscore_stats dict)."""
+    """Returns (PipelineModel, threshold, normalizer_stats dict). The
+    stats' family is ``load_scorer_meta(path)['normalizer_kind']``
+    ('zscore' when absent — pre-round-5 artifacts)."""
     from pyspark.ml import PipelineModel
 
     model = PipelineModel.load(os.path.join(path, "model"))
@@ -133,18 +140,26 @@ def tune_gbt_scorer(
     folds: int = 3,
     seed: int = 42,
     parallelism: int = 4,
+    model_family: str = "gbt",
+    normalizer: str = "zscore",
 ):
-    """CrossValidator grid over GBT (maxDepth × maxIter) nested in a
-    feature-subset loop (TuneModelLibSvm.java:83-103: grid search;
-    :738-760: feature ablation). Returns (best_model, report) where
-    report records per-subset CV metrics — the analogue of the
-    reference's printed tune table."""
+    """CrossValidator grid nested in a feature-subset loop
+    (TuneModelLibSvm.java:83-103: grid search; :738-760: feature
+    ablation). ``model_family`` selects the estimator — 'gbt'
+    (maxDepth × maxIter grid) or 'linear' (the LibLinearModel.java
+    baseline: logistic regression behind the ``normalizer`` scaler
+    stage, regParam × elasticNetParam grid, mirroring liblinear's C
+    sweep at TuneModelLibSvm.java:245-340). Returns (best_model,
+    report) where report records per-subset CV metrics — the analogue
+    of the reference's printed tune table."""
     from pyspark.ml import Pipeline
-    from pyspark.ml.classification import GBTClassifier
+    from pyspark.ml.classification import GBTClassifier, LogisticRegression
     from pyspark.ml.evaluation import BinaryClassificationEvaluator
-    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.feature import MinMaxScaler, StandardScaler, VectorAssembler
     from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
 
+    if model_family not in ("gbt", "linear"):
+        raise ValueError(f"unknown model_family {model_family!r}")
     subsets = feature_subsets or DEFAULT_FEATURE_SUBSETS
     train = labeled_feat
     if "label" not in train.columns:
@@ -153,20 +168,41 @@ def tune_gbt_scorer(
         labelCol="label", metricName="areaUnderPR"
     )
     best = None
-    report = {"subsets": []}
+    report = {"subsets": [], "model_family": model_family}
     for cols in subsets:
-        assembler = VectorAssembler(inputCols=list(cols), outputCol="features")
-        gbt = GBTClassifier(
-            labelCol="label", featuresCol="features", seed=seed
-        )
-        grid = (
-            ParamGridBuilder()
-            .addGrid(gbt.maxDepth, list(max_depths))
-            .addGrid(gbt.maxIter, list(max_iters))
-            .build()
-        )
+        if model_family == "gbt":
+            assembler = VectorAssembler(inputCols=list(cols), outputCol="features")
+            gbt = GBTClassifier(
+                labelCol="label", featuresCol="features", seed=seed
+            )
+            grid = (
+                ParamGridBuilder()
+                .addGrid(gbt.maxDepth, list(max_depths))
+                .addGrid(gbt.maxIter, list(max_iters))
+                .build()
+            )
+            stages = [assembler, gbt]
+        else:
+            assembler = VectorAssembler(inputCols=list(cols),
+                                        outputCol="raw_features")
+            scaler = (
+                MinMaxScaler(min=-1.0, max=1.0, inputCol="raw_features",
+                             outputCol="features")
+                if normalizer == "minmax"
+                else StandardScaler(withMean=True, withStd=True,
+                                    inputCol="raw_features",
+                                    outputCol="features")
+            )
+            lr = LogisticRegression(labelCol="label", featuresCol="features")
+            grid = (
+                ParamGridBuilder()
+                .addGrid(lr.regParam, [0.001, 0.01, 0.1])
+                .addGrid(lr.elasticNetParam, [0.0, 0.5])
+                .build()
+            )
+            stages = [assembler, scaler, lr]
         cv = CrossValidator(
-            estimator=Pipeline(stages=[assembler, gbt]),
+            estimator=Pipeline(stages=stages),
             estimatorParamMaps=grid,
             evaluator=evaluator,
             numFolds=folds,
@@ -192,12 +228,17 @@ def tune_gbt_scorer(
 
 def train_default_scorer(spark: SparkSession, cfg: ERConfig | None = None,
                          n_clusters: int = 150, seed: int = 42,
-                         tune: bool = False):
+                         tune: bool = False, model_family: str = "gbt",
+                         normalizer: str = "zscore"):
     """Train the pairwise scorer on the seeded synthetic gold corpus and
     sweep the accept threshold (ParameterTester.java:202-253 analogue).
-    Returns (model, threshold, zscore_stats, report)."""
+    ``model_family``: 'gbt' (default) or 'linear' (LibLinearModel
+    baseline); ``normalizer``: 'zscore' or 'minmax' — selects both the
+    sidecar stats table and, for the linear family, the in-pipeline
+    scaler stage. Returns (model, threshold, normalizer_stats, report)."""
     from smaph_spark.operators.scoring import (
-        fit_zscore, gbt_score, sweep_threshold, train_gbt_scorer,
+        fit_normalizer, gbt_score, sweep_threshold, train_gbt_scorer,
+        train_linear_scorer,
     )
     from smaph_spark.sources.synthetic import generate_files_corpus
 
@@ -216,14 +257,21 @@ def train_default_scorer(spark: SparkSession, cfg: ERConfig | None = None,
     )
     feat = labeled_pair_features(spark, files, labeled_ids, cfg).persist()
     if tune:
-        model, report = tune_gbt_scorer(feat)
+        model, report = tune_gbt_scorer(
+            feat, model_family=model_family, normalizer=normalizer
+        )
+    elif model_family == "linear":
+        model, report = (
+            train_linear_scorer(feat, normalizer=normalizer),
+            {"tuned": False, "model_family": "linear"},
+        )
     else:
         model, report = train_gbt_scorer(feat), {"tuned": False}
     scored = gbt_score(model, feat).withColumn(
         "is_match_gold", F.col("is_match")
     )
     threshold, _ = sweep_threshold(scored)
-    stats = fit_zscore(feat)
+    stats = fit_normalizer(feat, normalizer)
     feat.unpersist()
     return model, threshold, stats, report
 
@@ -237,6 +285,7 @@ def dump_examples_libsvm(
     path: str,
     feature_cols: list[str] | None = None,
     zscore_stats: dict | None = None,
+    normalizer_kind: str = "zscore",
 ) -> None:
     """Write labeled pair features as libsvm text lines —
     ``<gold%.5f> 1:<f1%.9f> 2:<f2> ...  #id=<group>`` — the format of
@@ -247,12 +296,12 @@ def dump_examples_libsvm(
     lines are built with JVM expressions and written through the text
     sink; the per-group sort becomes sortWithinPartitions after
     repartitioning by the group key."""
-    from smaph_spark.operators.scoring import apply_zscore
+    from smaph_spark.operators.scoring import apply_normalizer
 
     cols = feature_cols or FEATURE_COLS
     df = labeled_feat
     if zscore_stats:
-        df = apply_zscore(df, zscore_stats)
+        df = apply_normalizer(df, normalizer_kind, zscore_stats)
     gold = F.col("label") if "label" in df.columns else F.col(
         "is_match"
     ).cast("double")

@@ -81,6 +81,64 @@ def apply_zscore(df: DataFrame, stats: dict) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# min-max (scale) normalizer — the reference's alternative normalizer
+# (ScaleFeatureNormalizer.java:24-67), selectable in model_io training
+# ---------------------------------------------------------------------------
+
+
+def fit_minmax(pairs_feat: DataFrame, feature_cols: list[str] | None = None) -> dict:
+    """Single-pass min/max per feature (ScaleFeatureNormalizer.java:
+    24-41: running min/max over every set feature). A feature whose
+    column is all-NULL fits to (None, None) — treated as 'no range
+    recorded', i.e. raw passthrough at apply time, mirroring the
+    reference's !max.containsKey(ftrName) branch."""
+    cols = feature_cols or FEATURE_COLS
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"{c}__lo"), F.max(c).alias(f"{c}__hi")]
+    row = pairs_feat.agg(*aggs).collect()[0].asDict()
+    return {c: (row[f"{c}__lo"], row[f"{c}__hi"]) for c in cols}
+
+
+def apply_minmax(df: DataFrame, stats: dict) -> DataFrame:
+    """x → (x−min)/(max−min)·2 − 1 onto [-1, 1], with the reference's
+    rules (ScaleFeatureNormalizer.java:56-67): degenerate range
+    (max == min) → 0.0; no fitted range → raw value passthrough;
+    feature column absent from df → 0.0 (featureIsSet false)."""
+    for c, (lo, hi) in stats.items():
+        if c not in df.columns:
+            df = df.withColumn(c, F.lit(0.0))
+            continue
+        if lo is None or hi is None:
+            continue  # no range recorded -> passthrough
+        if lo == hi:
+            df = df.withColumn(c, F.lit(0.0))
+        else:
+            df = df.withColumn(
+                c, (F.col(c) - F.lit(lo)) / F.lit(hi - lo) * 2.0 - 1.0
+            )
+    return df
+
+
+#: normalizer registry — model_io selects by name and records the
+#: choice in the scorer sidecar (reference parity: SmaphBuilder wires
+#: either ZScoreFeatureNormalizer or ScaleFeatureNormalizer per model)
+NORMALIZERS: dict = {
+    "zscore": (fit_zscore, apply_zscore),
+    "minmax": (fit_minmax, apply_minmax),
+}
+
+
+def fit_normalizer(pairs_feat: DataFrame, kind: str = "zscore",
+                   feature_cols: list[str] | None = None) -> dict:
+    return NORMALIZERS[kind][0](pairs_feat, feature_cols)
+
+
+def apply_normalizer(df: DataFrame, kind: str, stats: dict) -> DataFrame:
+    return NORMALIZERS[kind][1](df, stats)
+
+
+# ---------------------------------------------------------------------------
 # GBT scorer (M2) — trained on labeled pairs; transform is JVM-side
 # ---------------------------------------------------------------------------
 
@@ -103,15 +161,56 @@ def train_gbt_scorer(labeled_feat: DataFrame, feature_cols: list[str] | None = N
     return Pipeline(stages=[assembler, gbt]).fit(train)
 
 
+def train_linear_scorer(labeled_feat: DataFrame,
+                        feature_cols: list[str] | None = None,
+                        normalizer: str = "zscore",
+                        reg_param: float = 0.01,
+                        elastic_net: float = 0.0,
+                        max_iter: int = 100):
+    """Linear-model baseline scorer (LibLinearModel.java:1-43 +
+    LibLinearBindingRegressor analogue): logistic regression over the
+    same pair features — the standard ablation control against the GBT
+    family. Linear models need normalized inputs, so the pipeline
+    embeds the matching Spark ML scaler stage (persists with the
+    model, no external stats sidecar): 'zscore' → StandardScaler
+    (withMean), 'minmax' → MinMaxScaler onto [-1, 1], which also maps
+    a degenerate constant feature to 0.0 exactly like
+    ScaleFeatureNormalizer.java:62-66. Score via :func:`gbt_score`
+    (probability column, same contract)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import MinMaxScaler, StandardScaler, VectorAssembler
+
+    cols = feature_cols or FEATURE_COLS
+    assembler = VectorAssembler(inputCols=cols, outputCol="raw_features")
+    if normalizer == "minmax":
+        scaler = MinMaxScaler(min=-1.0, max=1.0, inputCol="raw_features",
+                              outputCol="features")
+    elif normalizer == "zscore":
+        scaler = StandardScaler(withMean=True, withStd=True,
+                                inputCol="raw_features", outputCol="features")
+    else:
+        raise ValueError(f"unknown normalizer {normalizer!r}")
+    lr = LogisticRegression(
+        labelCol="label", featuresCol="features", regParam=reg_param,
+        elasticNetParam=elastic_net, maxIter=max_iter,
+    )
+    train = labeled_feat.withColumn("label", F.col("is_match").cast("double"))
+    return Pipeline(stages=[assembler, scaler, lr]).fit(train)
+
+
 def gbt_score(model, pairs_feat: DataFrame) -> DataFrame:
     """Attach P(match) as `score` (second element of the probability
-    vector); JVM-side transform, Python never touches rows."""
+    vector); JVM-side transform, Python never touches rows. Works for
+    any fitted probabilistic pipeline (GBT or the linear baseline —
+    both emit a probability vector)."""
     from pyspark.ml.functions import vector_to_array
 
     out = model.transform(pairs_feat)
     return (
         out.withColumn("score", vector_to_array(F.col("probability"))[1])
-        .drop("features", "rawPrediction", "probability", "prediction")
+        .drop("features", "raw_features", "rawPrediction", "probability",
+              "prediction")
     )
 
 
@@ -122,14 +221,33 @@ def sweep_threshold(
     scan thresholds between the 5th and 95th percentile of POSITIVE
     scores, compute pairwise F1 at each, return the midpoint of the
     best plateau. One pass: crossJoin with the literal grid + groupBy.
-    """
-    qs = scored_labeled.filter(F.col("is_match_gold")).approxQuantile(
-        "score", [0.05, 0.95], 0.001
-    )
-    lo, hi = (qs + [0.0, 1.0])[:2] if len(qs) < 2 else qs
+
+    Two extra candidates join the band grid: the MINIMUM positive
+    score and the negative/positive margin midpoint. Without them a
+    scorer with perfect but continuous separation (the linear
+    baseline: max negative 0.02, min positive 0.998) could never reach
+    F1=1 — every band threshold sits above the bottom 5% of positives,
+    silently costing ~5% recall (the GBT only escaped because its
+    tree scores are discrete, so the 5th-percentile value ties the
+    whole bottom tail)."""
+    pos = scored_labeled.filter(F.col("is_match_gold"))
+    qs = pos.approxQuantile("score", [0.0, 0.05, 0.95], 0.001)
+    if len(qs) < 3:
+        min_pos, lo, hi = 0.0, 0.0, 1.0
+    else:
+        min_pos, lo, hi = qs
     if hi <= lo:
         lo, hi = max(0.0, lo - 0.05), min(1.0, lo + 0.05)
     grid = [lo + (hi - lo) * i / (steps - 1) for i in range(steps)]
+    extra = [min_pos]
+    max_neg_row = (
+        scored_labeled.filter(~F.col("is_match_gold"))
+        .agg(F.max("score").alias("m")).collect()
+    )
+    max_neg = max_neg_row[0]["m"] if max_neg_row else None
+    if max_neg is not None and max_neg < min_pos:
+        extra.append((max_neg + min_pos) / 2.0)
+    grid = sorted(set(grid + extra))
     spark = scored_labeled.sparkSession
     grid_df = spark.createDataFrame([(t,) for t in grid], ["thr"])
 

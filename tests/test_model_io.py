@@ -137,3 +137,66 @@ def test_libsvm_dump_format(spark, tmp_path):
         "0.00000 1:0.125000000 2:1.000000000  #id=blk",
         "1.00000 1:0.500000000 2:0.250000000  #id=blk",
     ]
+
+
+def test_linear_baseline_scorer_f1(spark):
+    """LibLinearModel.java:1-43 analogue: the logistic baseline (behind
+    either scaler stage) must also clear F1 >= 0.99 on the synthetic
+    corpus — the reference's linear family is the standard ablation
+    control against the GBT."""
+    from smaph_spark.operators.scoring import (
+        sweep_threshold, train_linear_scorer,
+    )
+
+    _, labeled_ids, feat = _labeled_feature_frame(spark, seed=21)
+    for norm in ("zscore", "minmax"):
+        model = train_linear_scorer(feat, normalizer=norm)
+        scored = gbt_score(model, feat).withColumn(
+            "is_match_gold", F.col("is_match")
+        )
+        thr, _ = sweep_threshold(scored)
+        pred = scored.select(
+            "left_id", "right_id", (F.col("score") >= thr).alias("is_match")
+        )
+        m = pairwise_prf(pred, labeled_ids)
+        assert m["f1"] >= 0.99, (norm, m)
+        # the scaler stage rides inside the persisted pipeline: no
+        # stray feature-vector columns leak into the scored output
+        assert "raw_features" not in scored.columns
+
+
+def test_tune_linear_family_small_grid(spark):
+    """M5 with model_family='linear': the CV grid sweeps
+    regParam x elasticNetParam (liblinear C-sweep analogue) and the
+    report records the family."""
+    _, _, feat = _labeled_feature_frame(spark)
+    model, report = tune_gbt_scorer(
+        feat,
+        feature_subsets=[["jaccard_est", "name_jw", "same_lang"]],
+        folds=2, parallelism=2, model_family="linear", normalizer="minmax",
+    )
+    assert report["model_family"] == "linear"
+    assert len(report["subsets"]) == 1
+    scored = gbt_score(model, feat)
+    assert "score" in scored.columns and scored.count() == feat.count()
+
+
+def test_train_default_scorer_linear_minmax_roundtrip(spark, tmp_path):
+    """model_family/normalizer thread through train_default_scorer and
+    the sidecar records the normalizer family."""
+    model, threshold, stats, report = train_default_scorer(
+        spark, n_clusters=30, seed=5, model_family="linear",
+        normalizer="minmax",
+    )
+    assert report["model_family"] == "linear"
+    assert 0.0 < threshold < 1.0
+    # minmax stats are (lo, hi) pairs over the feature frame
+    assert set(stats) == set(FEATURE_COLS)
+    assert all(lo <= hi for lo, hi in stats.values())
+    path = str(tmp_path / "lin")
+    save_scorer(model, path, threshold, stats, normalizer_kind="minmax")
+    from smaph_spark.operators.model_io import load_scorer_meta
+
+    assert load_scorer_meta(path)["normalizer_kind"] == "minmax"
+    model2, thr2, stats2 = load_scorer(path)
+    assert thr2 == threshold and set(stats2) == set(FEATURE_COLS)

@@ -105,3 +105,52 @@ def test_threshold_sweep_plateau(spark):
     assert 0.25 < thr < 0.75
     best = max(r["f1"] for r in stats.collect())
     assert best > 0.95
+
+
+def test_minmax_goldens_and_degenerate_rules(spark):
+    """ScaleFeatureNormalizer.java:24-67 goldens: x maps onto [-1, 1]
+    via (x-min)/(max-min)*2-1; degenerate range (max==min) -> 0.0; a
+    feature with no fitted range passes through raw; an absent feature
+    column -> 0.0 (featureIsSet false)."""
+    from smaph_spark.operators.scoring import apply_minmax, fit_minmax
+
+    df = spark.createDataFrame(
+        [(1.0, 5.0, None), (2.0, 5.0, None), (3.0, 5.0, None)],
+        "a double, b double, c double",
+    )
+    stats = fit_minmax(df, ["a", "b", "c"])
+    assert stats["a"] == (1.0, 3.0)
+    assert stats["b"] == (5.0, 5.0)
+    assert stats["c"] == (None, None)  # all-NULL -> no range recorded
+
+    out = apply_minmax(df, stats).orderBy("a").collect()
+    # endpoints land exactly on -1/+1, the midpoint on 0 (x2-1 scale,
+    # NOT [0,1]: the reference multiplies by 2 and subtracts 1)
+    assert [r["a"] for r in out] == pytest.approx([-1.0, 0.0, 1.0])
+    # degenerate range -> 0.0 (not NaN from the 0/0)
+    assert all(r["b"] == 0.0 for r in out)
+    # no fitted range -> raw passthrough (here NULL stays NULL)
+    assert all(r["c"] is None for r in out)
+
+    # absent feature column -> materialized as 0.0
+    ghost = apply_minmax(df.select("a"), {"ghost": (0.0, 1.0)}).collect()[0]
+    assert ghost["ghost"] == 0.0
+
+
+def test_normalizer_registry_dispatch(spark):
+    from smaph_spark.operators.scoring import (
+        NORMALIZERS, apply_normalizer, fit_normalizer,
+    )
+
+    assert set(NORMALIZERS) == {"zscore", "minmax"}
+    df = spark.createDataFrame([(0.0,), (4.0,)], "a double")
+    mm = fit_normalizer(df, "minmax", ["a"])
+    assert mm["a"] == (0.0, 4.0)
+    got = sorted(
+        r["a"] for r in apply_normalizer(df, "minmax", mm).collect()
+    )
+    assert got == pytest.approx([-1.0, 1.0])
+    zs = fit_normalizer(df, "zscore", ["a"])
+    assert zs["a"][0] == pytest.approx(2.0)
+    with pytest.raises(KeyError):
+        fit_normalizer(df, "quantile", ["a"])
