@@ -445,3 +445,72 @@ def incremental_minhash_membership(spark: SparkSession, sf_dir: str) -> DataFram
         F.xxhash64("repo", "path", "commit").alias("record_id"), "doc_id"
     )
     return cluster_membership_rows(inc.clusters, id_map)
+
+
+@register(
+    "er06_greedy_step_features",
+    None,  # rows-only: the feature pack itself is golden-tested in
+    # tests/test_linkback.py (reference-formula goldens); this query
+    # exercises the distributed grouped-agg path on the corpus
+    survey_ref="greedy per-step features (GreedyFeaturePack.java:38-130"
+               " recast): candidate-vs-partial-solution min/max/avg "
+               "relatedness + coverage increments as grouped aggs over "
+               "the token-band clusters (round-4 VERDICT item 7)",
+)
+def er_greedy_step_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every token-band cluster with >= 2 members: treat the
+    highest doc_id as the next greedy candidate and the rest as the
+    accepted partial solution, and emit the reference's per-step
+    feature row (relatedness = 1/(1+|Δn_toks|) over the banded
+    candidate pairs — deterministic, no model in the loop). The joins
+    shuffle on the cluster id only, so group-bounded work at any
+    corpus size."""
+    from smaph_spark.operators.clustering import connected_components
+    from smaph_spark.operators.greedy_features import greedy_step_features
+
+    t = _tokenband_docs(spark, sf_dir)
+    pairs = _tokenband_candidate_pairs(t)
+    cfg = replace(ERConfig(), cc_local_threshold=0)
+    labels, _ = connected_components(
+        pairs.select("left_id", "right_id"), cfg,
+        all_records=t.select(F.col("doc_id").alias("record_id")),
+    )
+    toks = t.select(F.col("doc_id").alias("record_id"), "n_toks")
+    members = labels.join(toks, "record_id")
+    # candidate = max doc_id per multi-member cluster; partial = rest
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("cluster_id")
+    members = members.withColumn("mx", F.max("record_id").over(w)) \
+                     .withColumn("n", F.count("*").over(w)) \
+                     .filter(F.col("n") >= 2)
+    cand = members.filter(F.col("record_id") == F.col("mx")).select(
+        F.col("cluster_id").alias("group_id"),
+        F.col("record_id").alias("cand_id"),
+        F.col("n_toks").alias("cand_tokens"),
+    )
+    partial = members.filter(F.col("record_id") != F.col("mx")).select(
+        F.col("cluster_id").alias("group_id"),
+        F.col("record_id").alias("member_id"),
+        F.col("n_toks").alias("member_tokens"),
+    )
+    ta = t.select(F.col("doc_id").alias("a_id"), F.col("n_toks").alias("a_toks"))
+    tb = t.select(F.col("doc_id").alias("b_id"), F.col("n_toks").alias("b_toks"))
+    rel = (
+        pairs.select(
+            F.col("left_id").alias("a_id"), F.col("right_id").alias("b_id")
+        )
+        .join(ta, "a_id").join(tb, "b_id")
+        .select(
+            "a_id", "b_id",
+            (F.lit(1.0) / (F.lit(1.0) + F.abs(F.col("a_toks") - F.col("b_toks"))))
+            .alias("rel"),
+        )
+    )
+    group_tokens = members.groupBy(F.col("cluster_id").alias("group_id")).agg(
+        F.sum("n_toks").alias("query_tokens")
+    )
+    feats = greedy_step_features(cand, partial, rel, group_tokens)
+    rounded = [F.round(F.col(c), 6).alias(c) for c in feats.columns
+               if c not in ("group_id", "cand_id")]
+    return feats.select("group_id", "cand_id", *rounded)

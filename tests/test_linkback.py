@@ -50,3 +50,86 @@ def test_bindings_cartesian_and_cap():
 
     assert bindings([], 10) == [[]]
     assert bindings([[1], []], 10) == []
+
+
+def test_greedy_step_features_reference_goldens(spark):
+    """GreedyFeaturePack.java:38-130 formula goldens, hand-computed:
+    full partial solution, empty partial (first-step collapse),
+    singleton partial (empty before-pairs -> getMinMaxAvg (0,0,0)),
+    and a missing relatedness pair defaulting to 0.0."""
+    import pytest
+    from smaph_spark.operators.greedy_features import greedy_step_features
+
+    cand = spark.createDataFrame(
+        [(1, 30, 4), (2, 40, 2), (3, 60, 1)],
+        "group_id long, cand_id long, cand_tokens long",
+    )
+    partial = spark.createDataFrame(
+        [(1, 10, 3), (1, 20, 5), (3, 50, 1)],
+        "group_id long, member_id long, member_tokens long",
+    )
+    rel = spark.createDataFrame(
+        [(10, 20, 0.8), (10, 30, 0.5), (20, 30, 0.3)],
+        "a_id long, b_id long, rel double",
+    )
+    gt = spark.createDataFrame(
+        [(1, 12), (2, 2), (3, 2)], "group_id long, query_tokens long"
+    )
+    rows = {
+        r["group_id"]: r.asDict()
+        for r in greedy_step_features(cand, partial, rel, gt).collect()
+    }
+    g1 = rows[1]
+    # coverage: incr 4 of 12 query tokens, 8 covered before
+    assert g1["covered_tokens_incr"] == 4.0
+    assert g1["covered_tokens_incr_ratio"] == pytest.approx(4 / 12)
+    assert g1["covered_tokens_after"] == 12.0
+    # before = {0.8}; this = {0.5, 0.3}
+    assert g1["max_relatedness_before"] == pytest.approx(0.8)
+    assert g1["avg_relatedness_before"] == pytest.approx(0.8)
+    assert g1["min_relatedness"] == pytest.approx(0.3)
+    assert g1["max_relatedness"] == pytest.approx(0.5)
+    assert g1["avg_relatedness"] == pytest.approx(0.4)
+    # diffs (GreedyFeaturePack.java:106-113): min(0.3,0.8)-0.8,
+    # 0.4-0.8, max(0.5,0.8)-0.8
+    assert g1["min_relatedness_diff"] == pytest.approx(-0.5)
+    assert g1["avg_relatedness_diff"] == pytest.approx(-0.4)
+    assert g1["max_relatedness_diff"] == pytest.approx(0.0)
+
+    g2 = rows[2]  # first step: empty partial -> collapse to 0.0
+    assert g2["covered_tokens_incr"] == 2.0
+    assert g2["covered_tokens_incr_ratio"] == pytest.approx(1.0)
+    assert g2["covered_tokens_after"] == 2.0
+    for f in ("max_relatedness_before", "avg_relatedness_before",
+              "min_relatedness", "max_relatedness", "avg_relatedness",
+              "min_relatedness_diff", "avg_relatedness_diff",
+              "max_relatedness_diff"):
+        assert g2[f] == 0.0, f
+
+    g3 = rows[3]  # singleton partial: before-pairs empty -> (0,0,0);
+    # the (50,60) pair is absent from rel -> relatedness 0.0
+    assert g3["covered_tokens_after"] == 2.0
+    assert g3["covered_tokens_incr_ratio"] == pytest.approx(0.5)
+    for f in ("max_relatedness_before", "min_relatedness",
+              "max_relatedness", "avg_relatedness",
+              "min_relatedness_diff", "avg_relatedness_diff",
+              "max_relatedness_diff"):
+        assert g3[f] == 0.0, f
+
+
+def test_er06_greedy_query_runs(spark):
+    """The registered distributed query emits one feature row per
+    multi-member token-band cluster, candidates disjoint from their
+    partial solutions."""
+    from smaph_spark.ops import er_docs  # noqa: F401 — populates registry
+    from smaph_spark.plans.star_queries import QUERIES
+
+    df = QUERIES["er06_greedy_step_features"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(r["covered_tokens_incr"] >= 1.0 for r in rows)
+    assert all(0.0 <= r["covered_tokens_incr_ratio"] <= 1.0 for r in rows)
+    # candidate relatedness lives in [0, 1] by construction
+    assert all(0.0 <= r["max_relatedness"] <= 1.0 for r in rows)
