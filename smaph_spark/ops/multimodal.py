@@ -1,10 +1,12 @@
 """Multimodal plumbing: opaque binary columns + typed metadata.
 
-The container has no image/audio libraries, so the decode step is a
-clearly-marked stub (deterministic fake features / NotImplementedError
-for real decode) — but the Spark-side plumbing is real and tested:
-binary column handling, mapInPandas batch iteration, fixed output
-schema, partition-preserving shape.
+The container has no image/audio libraries; the REAL decoders are the
+codec-free ones — uncompressed 24-bit BMP (pure numpy) and 8-bit
+RGB/RGBA non-interlaced PNG (stdlib zlib + numpy unfiltering). JPEG
+and exotic PNG layouts take a clearly-marked deterministic stub. The
+Spark-side plumbing is real and tested either way: binary column
+handling, mapInPandas batch iteration, fixed output schema,
+partition-preserving shape.
 """
 
 from __future__ import annotations
@@ -95,6 +97,133 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return header + rows.tobytes()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL PNG decode to (h, w, 3) uint8 RGB — stdlib zlib + numpy
+    unfiltering, no PIL/cv2 (round-4 VERDICT item 5). Supports 8-bit
+    truecolor (color type 2) and truecolor+alpha (type 6, alpha
+    dropped), non-interlaced — the overwhelmingly common encoder
+    output. Other layouts (palette, grayscale, 16-bit, Adam7) raise
+    NotImplementedError and take the declared stub path like JPEG.
+
+    Scanline reconstruction implements all five PNG filter types
+    (spec 9.2): None/Up vectorized across the row, Sub/Average/Paeth
+    with the per-pixel recurrence the spec mandates (row-sequential by
+    construction — each row is one numpy pass plus, for filters 3/4,
+    a short per-pixel loop bounded by the row width)."""
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise NotImplementedError("not a PNG payload")
+    pos, width, height, channels = len(_PNG_SIG), None, None, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        clen = int.from_bytes(payload[pos:pos + 4], "big")
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + clen]
+        if len(data) < clen:
+            raise ValueError("corrupt PNG: truncated chunk")
+        if ctype == b"IHDR":
+            width = int.from_bytes(data[0:4], "big")
+            height = int.from_bytes(data[4:8], "big")
+            bit_depth, color_type, _comp, _filt, interlace = data[8:13]
+            if bit_depth != 8 or color_type not in (2, 6) or interlace != 0:
+                raise NotImplementedError(
+                    f"unsupported PNG layout (depth={bit_depth}, "
+                    f"color={color_type}, interlace={interlace}); only "
+                    "8-bit RGB/RGBA non-interlaced decodes without PIL"
+                )
+            channels = 3 if color_type == 2 else 4
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + data + crc
+    if width is None or not idat:
+        raise ValueError("corrupt PNG: missing IHDR/IDAT")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG: {exc}") from exc
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("corrupt PNG: scanline size mismatch")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    filters, rows = raw[:, 0], raw[:, 1:]
+    out = np.zeros((height, stride), dtype=np.uint8)
+    bpp = channels
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        f, cur = int(filters[y]), rows[y].copy()
+        if f == 0:          # None
+            rec = cur
+        elif f == 1:        # Sub: recon[x] = raw[x] + recon[x-bpp]
+            rec = cur
+            for x in range(bpp, stride):
+                rec[x] = (int(rec[x]) + int(rec[x - bpp])) & 0xFF
+        elif f == 2:        # Up (fully vectorized)
+            rec = cur + prev
+        elif f == 3:        # Average
+            rec = cur
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(cur[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif f == 4:        # Paeth
+            rec = cur
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"corrupt PNG: unknown filter {f}")
+        out[y] = rec
+        prev = rec
+    img = out.reshape(height, width, channels)
+    return img[..., :3].copy()
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an 8-bit truecolor PNG
+    (stdlib zlib) — the sink twin of :func:`decode_png` and the test
+    fixture generator. ``filter_type`` applies one filter to every
+    scanline (0=None default; 2=Up exercises the unfilter path)."""
+    import struct
+    import zlib
+
+    h, w, _ = img.shape
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    flat = img.reshape(h, w * 3)
+    if filter_type == 0:
+        lines = b"".join(b"\x00" + flat[y].tobytes() for y in range(h))
+    elif filter_type == 2:  # Up: raw[x] = recon[x] - recon_prev[x]
+        lines = b""
+        prev = np.zeros(w * 3, dtype=np.uint8)
+        for y in range(h):
+            lines += b"\x02" + (flat[y] - prev).tobytes()
+            prev = flat[y]
+    else:
+        raise ValueError("encoder supports filter types 0 and 2 only")
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(lines))
+        + chunk(b"IEND", b"")
+    )
+
+
 def fake_decode_meta(payload: bytes) -> tuple[int, int, float]:
     """Deterministic stand-in: derive (width, height, feat_mean) from a
     sha256 of the payload so tests are reproducible."""
@@ -106,13 +235,17 @@ def fake_decode_meta(payload: bytes) -> tuple[int, int, float]:
 
 
 def _decode_meta(payload: bytes) -> tuple[int, int, float, str]:
-    """(width, height, feat_mean, decoder): the REAL numpy BMP path for
-    decodable payloads, the deterministic sha-stub for everything else
-    (the honest fallback while no codec library is installed)."""
+    """(width, height, feat_mean, decoder): REAL decode paths for BMP
+    (pure numpy) and 8-bit RGB/RGBA PNG (zlib + numpy unfilter), the
+    deterministic sha-stub for everything else (JPEG — the honest
+    fallback while no codec library is installed)."""
     try:
-        img = decode_image(payload)
+        if payload[:8] == _PNG_SIG:
+            img, kind = decode_png(payload), "png-real"
+        else:
+            img, kind = decode_image(payload), "bmp-numpy"
         h, w = img.shape[:2]
-        return w, h, round(float(img.mean()) / 255.0, 6), "bmp-numpy"
+        return w, h, round(float(img.mean()) / 255.0, 6), kind
     except NotImplementedError:
         w, h, feat = fake_decode_meta(payload)
         return w, h, feat, "stub-sha256"
