@@ -54,10 +54,15 @@ _DRIVER_WINDOW = 50
 # test_oracle_paired_queries_inside_driver_window FAILS (not warns) on
 # overflow, so a forgotten rotation cannot silently drop driver rows.
 
+# With er04 oracle-paired (round 5) the window holds EXACTLY the 50
+# oracle queries, so NO rows-only query is driver-checked anymore —
+# every rows-only entry below relies on its pytest pin (the trade the
+# round-4 VERDICT asked for: 50/50 hash-green beats one rows>0 check).
+# This list now only fixes a deterministic queries() ordering for the
+# tail the driver lists but does not grade.
 _ROWS_ONLY_PRIORITY = [
     # er01 first: the flagship membership rows; its pipeline is already
-    # executed at the gate by entry() (er04 moved INTO the window in
-    # round 5 with the er03-CTE oracle — incremental == batch)
+    # executed at the gate by entry()
     "er01_document_clusters",
     "er02_document_match_pairs",
     # one representative per approximate family

@@ -363,6 +363,13 @@ def main_dd09_scaling() -> None:
     from smaph_spark.session import get_spark
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    # resolve the scale corpus BEFORE creating the bench session:
+    # ensure_scale_corpus spins up (and STOPS) its own generation
+    # session, and getOrCreate would hand it the bench session to kill
+    # (round-5 review)
+    scale_corpus = (
+        os.environ.get("SMAPH_SCALING_CORPUS") or ensure_scale_corpus()
+    )
     spark = get_spark(
         f"bench_dd09_{cpus}", master=f"local[{cpus}]",
         shuffle_partitions=cpus * 4,
@@ -382,9 +389,7 @@ def main_dd09_scaling() -> None:
             os.path.join(sf_dir, "documents.parquet")
         ).filter(F.length(F.coalesce("text", F.lit(""))) > 0)),
         ("er_bench_files", files_as_docs(ensure_corpus(spark))),
-        ("scale_files_80k", files_as_docs(
-            os.environ.get("SMAPH_SCALING_CORPUS") or ensure_scale_corpus()
-        )),
+        ("scale_files_80k", files_as_docs(scale_corpus)),
     ]
     rows_out = []
     for name, docs in corpora:

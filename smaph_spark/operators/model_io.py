@@ -155,8 +155,10 @@ def tune_gbt_scorer(
     from pyspark.ml import Pipeline
     from pyspark.ml.classification import GBTClassifier, LogisticRegression
     from pyspark.ml.evaluation import BinaryClassificationEvaluator
-    from pyspark.ml.feature import MinMaxScaler, StandardScaler, VectorAssembler
+    from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    from smaph_spark.operators.scoring import make_scaler_stage
 
     if model_family not in ("gbt", "linear"):
         raise ValueError(f"unknown model_family {model_family!r}")
@@ -185,14 +187,7 @@ def tune_gbt_scorer(
         else:
             assembler = VectorAssembler(inputCols=list(cols),
                                         outputCol="raw_features")
-            scaler = (
-                MinMaxScaler(min=-1.0, max=1.0, inputCol="raw_features",
-                             outputCol="features")
-                if normalizer == "minmax"
-                else StandardScaler(withMean=True, withStd=True,
-                                    inputCol="raw_features",
-                                    outputCol="features")
-            )
+            scaler = make_scaler_stage(normalizer)
             lr = LogisticRegression(labelCol="label", featuresCol="features")
             grid = (
                 ParamGridBuilder()

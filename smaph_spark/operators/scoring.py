@@ -161,6 +161,25 @@ def train_gbt_scorer(labeled_feat: DataFrame, feature_cols: list[str] | None = N
     return Pipeline(stages=[assembler, gbt]).fit(train)
 
 
+def make_scaler_stage(normalizer: str):
+    """The Spark ML scaler stage matching a normalizer family — the
+    ONE home for the kind -> stage mapping (round-5 review: the tune
+    path had a silently-diverging copy): 'zscore' → StandardScaler
+    (withMean), 'minmax' → MinMaxScaler onto [-1, 1] (which maps a
+    degenerate constant feature to 0.0 exactly like
+    ScaleFeatureNormalizer.java:62-66). Raises on unknown kinds —
+    never a silent default."""
+    from pyspark.ml.feature import MinMaxScaler, StandardScaler
+
+    if normalizer == "minmax":
+        return MinMaxScaler(min=-1.0, max=1.0, inputCol="raw_features",
+                            outputCol="features")
+    if normalizer == "zscore":
+        return StandardScaler(withMean=True, withStd=True,
+                              inputCol="raw_features", outputCol="features")
+    raise ValueError(f"unknown normalizer {normalizer!r}")
+
+
 def train_linear_scorer(labeled_feat: DataFrame,
                         feature_cols: list[str] | None = None,
                         normalizer: str = "zscore",
@@ -179,18 +198,11 @@ def train_linear_scorer(labeled_feat: DataFrame,
     (probability column, same contract)."""
     from pyspark.ml import Pipeline
     from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.feature import MinMaxScaler, StandardScaler, VectorAssembler
+    from pyspark.ml.feature import VectorAssembler
 
     cols = feature_cols or FEATURE_COLS
     assembler = VectorAssembler(inputCols=cols, outputCol="raw_features")
-    if normalizer == "minmax":
-        scaler = MinMaxScaler(min=-1.0, max=1.0, inputCol="raw_features",
-                              outputCol="features")
-    elif normalizer == "zscore":
-        scaler = StandardScaler(withMean=True, withStd=True,
-                                inputCol="raw_features", outputCol="features")
-    else:
-        raise ValueError(f"unknown normalizer {normalizer!r}")
+    scaler = make_scaler_stage(normalizer)
     lr = LogisticRegression(
         labelCol="label", featuresCol="features", regParam=reg_param,
         elasticNetParam=elastic_net, maxIter=max_iter,

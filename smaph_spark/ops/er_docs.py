@@ -38,7 +38,11 @@ def get_document_scorer(spark: SparkSession):
     train-feature fingerprint must match _DOC_CFG's (round-2 ADVICE:
     a scorer trained under shingle_k=7/num_minhash=128 was silently
     applied to shingle_k=5/num_minhash=64 features); on mismatch or a
-    missing artifact it retrains ON _DOC_CFG features and re-persists."""
+    missing artifact it retrains ON _DOC_CFG features. Artifact-write
+    policy (round-5 review, same as the PQ codebook): query time may
+    BOOTSTRAP a missing artifact but never overwrites an existing one
+    — a present-but-mismatched artifact is code/artifact skew for
+    scripts/train_scorer.py to resolve deliberately."""
     if "scorer" not in _SCORER_CACHE:
         from smaph_spark.operators.model_io import (
             load_scorer, load_scorer_meta, save_scorer, train_default_scorer,
@@ -54,14 +58,18 @@ def get_document_scorer(spark: SparkSession):
                 )
             model, threshold, _ = load_scorer(_MODEL_PATH)
         except Exception:
+            artifact_exists = os.path.exists(
+                os.path.join(_MODEL_PATH, "scorer_meta.json")
+            )
             model, threshold, stats, _ = train_default_scorer(
                 spark, cfg=_DOC_CFG
             )
-            try:
-                save_scorer(model, _MODEL_PATH, threshold, stats,
-                            train_cfg=_DOC_CFG)
-            except Exception:
-                pass  # read-only checkout: keep the in-memory model
+            if not artifact_exists:
+                try:
+                    save_scorer(model, _MODEL_PATH, threshold, stats,
+                                train_cfg=_DOC_CFG)
+                except Exception:
+                    pass  # read-only checkout: keep the in-memory model
         _SCORER_CACHE["scorer"] = (model, threshold)
     return _SCORER_CACHE["scorer"]
 
@@ -164,6 +172,28 @@ _ER03_SQL = rf"""
 """
 
 
+
+def _labels_membership_rows(labels: DataFrame) -> DataFrame:
+    """labels(record_id, cluster_id) -> (canonical_doc, cluster_size,
+    member_docs) — the membership projection BOTH er03 and er04 hash
+    against the SAME _ER03_SQL oracle, so the shape lives once
+    (round-5 review; the doc_id-mapped pipeline variant is
+    cluster_membership_rows above)."""
+    return (
+        labels.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.array_join(
+                F.sort_array(F.collect_list("record_id")), ","
+            ).alias("member_docs"),
+        )
+        .select(
+            F.col("cluster_id").alias("canonical_doc"),
+            "cluster_size", "member_docs",
+        )
+    )
+
+
 def _tokenband_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, lang, source, n_toks) for non-empty documents — the
     node table of the deterministic er03/er05 token-band graph."""
@@ -174,31 +204,50 @@ def _tokenband_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _tokenband_candidate_pairs(t: DataFrame) -> DataFrame:
-    """Same-(lang, source) pairs with |Δn_toks| <= 2, canonicalized
-    left_id < right_id — via the scale-safe BANDED equi-join recast
-    (bucket width 3; the right side emits buckets k-1,k,k+1): Catalyst
-    gets an equi-key shuffle on (lang, source, bucket) instead of a
-    per-group cross product, and each qualifying pair matches exactly
-    one bucket key so no post-join dedup is needed. SHARED by er03
-    (graph edges) and er05 (candidate counting) — the band predicate is
-    load-bearing for both oracles, so it lives once (round-4 review)."""
-    bucket = F.floor(F.col("n_toks") / 3)
-    a = t.select(
-        F.col("doc_id").alias("left_id"), "lang", "source",
+#: the ONE home of the token-band predicate (round-5 review: er04's
+#: delta generator had re-inlined these constants): pairs qualify iff
+#: same (lang, source) and |Δn_toks| <= _BAND_DELTA; the banded
+#: equi-join uses buckets of width _BAND_DELTA+1 with the b-side
+#: exploding k-1,k,k+1 so each qualifying pair matches EXACTLY one
+#: bucket key (no post-join dedup). Load-bearing for the er03/er04/er05
+#: oracles — the DuckDB twins hardcode the same <= 2.
+_BAND_DELTA = 2
+
+
+def _banded_tokenjoin(a: DataFrame, b: DataFrame,
+                      a_id: str, b_id: str) -> DataFrame:
+    """Scale-safe banded equi-join of two (doc_id, lang, source,
+    n_toks) node tables: Catalyst gets an equi-key shuffle on
+    (lang, source, bucket) instead of a per-group cross product.
+    Returns (lang, source, <a_id>, <b_id>, a_toks, b_toks) rows
+    satisfying the band predicate; id ordering/canonicalization is the
+    caller's business."""
+    bucket = F.floor(F.col("n_toks") / (_BAND_DELTA + 1))
+    aa = a.select(
+        F.col("doc_id").alias(a_id), "lang", "source",
         F.col("n_toks").alias("a_toks"), bucket.alias("bkt"),
     )
-    b = t.select(
-        F.col("doc_id").alias("right_id"), "lang", "source",
+    bb = b.select(
+        F.col("doc_id").alias(b_id), "lang", "source",
         F.col("n_toks").alias("b_toks"),
         F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("bkt"),
     )
     return (
-        a.join(b, ["lang", "source", "bkt"])
-        .filter(
-            (F.abs(F.col("a_toks") - F.col("b_toks")) <= 2)
-            & (F.col("left_id") < F.col("right_id"))
-        )
+        aa.join(bb, ["lang", "source", "bkt"])
+        .filter(F.abs(F.col("a_toks") - F.col("b_toks")) <= _BAND_DELTA)
+        .select("lang", "source", a_id, b_id, "a_toks", "b_toks")
+    )
+
+
+def _tokenband_candidate_pairs(t: DataFrame) -> DataFrame:
+    """Same-(lang, source) pairs with |Δn_toks| <= _BAND_DELTA,
+    canonicalized left_id < right_id. SHARED by er03 (graph edges),
+    er04 (within-delta edges), er05 (candidate counting), er06
+    (relatedness pairs) — the band predicate lives once
+    (_banded_tokenjoin, round-4/5 review)."""
+    return (
+        _banded_tokenjoin(t, t, "left_id", "right_id")
+        .filter(F.col("left_id") < F.col("right_id"))
         .select("lang", "source", "left_id", "right_id")
     )
 
@@ -222,19 +271,7 @@ def er_tokenband_graph_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels, _ = connected_components(
         edges, cfg, all_records=t.select(F.col("doc_id").alias("record_id"))
     )
-    return (
-        labels.groupBy("cluster_id")
-        .agg(
-            F.count("*").alias("cluster_size"),
-            F.array_join(
-                F.sort_array(F.collect_list("record_id")), ","
-            ).alias("member_docs"),
-        )
-        .select(
-            F.col("cluster_id").alias("canonical_doc"),
-            "cluster_size", "member_docs",
-        )
-    )
+    return _labels_membership_rows(labels)
 
 
 _ER05_SQL = rf"""
@@ -328,27 +365,13 @@ def _tokenband_delta_pairs(hist: DataFrame, delta: DataFrame) -> DataFrame:
     """Delta-touching token-band candidate pairs, generated in
     O(|delta| · band) — the incremental counterpart of
     ``_tokenband_candidate_pairs``: history NEVER self-joins here.
-    delta×history rides the same banded equi-join (delta side explodes
-    buckets k-1,k,k+1, so each qualifying cross pair matches exactly
-    one bucket key); delta×delta reuses the batch generator on the
-    delta alone. Output canonicalized (left_id < right_id)."""
-    bucket = F.floor(F.col("n_toks") / 3)
-    a = hist.select(
-        F.col("doc_id").alias("h_id"), "lang", "source",
-        F.col("n_toks").alias("a_toks"), bucket.alias("bkt"),
-    )
-    b = delta.select(
-        F.col("doc_id").alias("d_id"), "lang", "source",
-        F.col("n_toks").alias("b_toks"),
-        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("bkt"),
-    )
-    cross = (
-        a.join(b, ["lang", "source", "bkt"])
-        .filter(F.abs(F.col("a_toks") - F.col("b_toks")) <= 2)
-        .select(
-            F.least("h_id", "d_id").alias("left_id"),
-            F.greatest("h_id", "d_id").alias("right_id"),
-        )
+    delta×history rides the shared _banded_tokenjoin (delta side
+    explodes the buckets, so each qualifying cross pair matches
+    exactly one bucket key); delta×delta reuses the batch generator on
+    the delta alone. Output canonicalized (left_id < right_id)."""
+    cross = _banded_tokenjoin(hist, delta, "h_id", "d_id").select(
+        F.least("h_id", "d_id").alias("left_id"),
+        F.greatest("h_id", "d_id").alias("right_id"),
     )
     within = _tokenband_candidate_pairs(delta).select("left_id", "right_id")
     return cross.unionByName(within)
@@ -405,19 +428,7 @@ def er_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels, _ = connected_components(
         edges, cfg, all_records=t.select(F.col("doc_id").alias("record_id"))
     )
-    return (
-        labels.groupBy("cluster_id")
-        .agg(
-            F.count("*").alias("cluster_size"),
-            F.array_join(
-                F.sort_array(F.collect_list("record_id")), ","
-            ).alias("member_docs"),
-        )
-        .select(
-            F.col("cluster_id").alias("canonical_doc"),
-            "cluster_size", "member_docs",
-        )
-    )
+    return _labels_membership_rows(labels)
 
 
 def incremental_minhash_membership(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -154,3 +154,12 @@ def test_normalizer_registry_dispatch(spark):
     assert zs["a"][0] == pytest.approx(2.0)
     with pytest.raises(KeyError):
         fit_normalizer(df, "quantile", ["a"])
+    # the ML-pipeline scaler mapping lives in ONE place and never
+    # silently defaults (round-5 review: the tune path had a copy that
+    # fell through to z-score on unknown kinds)
+    from smaph_spark.operators.scoring import make_scaler_stage
+
+    assert type(make_scaler_stage("minmax")).__name__ == "MinMaxScaler"
+    assert type(make_scaler_stage("zscore")).__name__ == "StandardScaler"
+    with pytest.raises(ValueError):
+        make_scaler_stage("scale")
