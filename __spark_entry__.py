@@ -24,7 +24,7 @@ if _REPO_DIR not in sys.path:
 # importing the ops modules populates the shared registry
 from smaph_spark.plans import star_queries  # noqa: E402
 from smaph_spark.ops import (  # noqa: F401,E402
-    dedup, er_docs, multimodal, sampling, similarity, sketches,
+    abbrev, dedup, er_docs, multimodal, sampling, similarity, sketches,
     streaming_gate, text,
 )
 from smaph_spark.plans.star_queries import QUERIES  # noqa: E402

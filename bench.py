@@ -58,6 +58,9 @@ HEADLINE = [
     "st01_streaming_exact_dedup",
     "st02_streaming_hourly_counts",
     "er01_document_clusters",
+    "er04_incremental_clusters",
+    "er06_greedy_step_features",
+    "ab01_abbrev_expansion",
 ]
 
 # synthetic ER corpus for the pairs/sec metric (cached across runs)

@@ -416,19 +416,34 @@ def er_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = hash_bucket(F.col("doc_id"), 10)
     hist = t.filter(b < 8)
     delta = t.filter(b >= 8)
-    cfg = replace(ERConfig(), cc_local_threshold=0)
-    hist_edges = _tokenband_candidate_pairs(hist).select("left_id", "right_id")
+    # the pipeline's ADAPTIVE CC config (local union-find under the
+    # edge threshold, distributed hash-min beyond it — identical
+    # min-id labels either way): er04's claim is the incremental FOLD,
+    # not distributed-CC parity, which er03 already pins with its
+    # forced-distributed config. At sf0.1 this cuts ~25 s of
+    # iterative-CC stage overhead per bench run.
+    cfg = ERConfig()
+    # persist both edge frames: connected_components actions each one
+    # twice (size probe + the CC pass), and the banded join would
+    # otherwise recompute per action
+    hist_edges = (
+        _tokenband_candidate_pairs(hist)
+        .select("left_id", "right_id").persist()
+    )
     hist_clusters, _ = connected_components(
         hist_edges, cfg,
         all_records=hist.select(F.col("doc_id").alias("record_id")),
     )
     edges = _tokenband_delta_pairs(hist, delta).unionByName(
         history_pseudo_edges(hist_clusters)
-    )
+    ).persist()
     labels, _ = connected_components(
         edges, cfg, all_records=t.select(F.col("doc_id").alias("record_id"))
     )
-    return _labels_membership_rows(labels)
+    out = _labels_membership_rows(labels).localCheckpoint(eager=True)
+    hist_edges.unpersist()
+    edges.unpersist()
+    return out
 
 
 def incremental_minhash_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -481,7 +496,8 @@ def er_greedy_step_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _tokenband_docs(spark, sf_dir)
     pairs = _tokenband_candidate_pairs(t)
-    cfg = replace(ERConfig(), cc_local_threshold=0)
+    # adaptive CC config (see er04): distributed parity is er03's job
+    cfg = ERConfig()
     labels, _ = connected_components(
         pairs.select("left_id", "right_id"), cfg,
         all_records=t.select(F.col("doc_id").alias("record_id")),
