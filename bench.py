@@ -61,6 +61,7 @@ HEADLINE = [
     "er04_incremental_clusters",
     "er06_greedy_step_features",
     "ab01_abbrev_expansion",
+    "er07_bcubed_eval",
 ]
 
 # synthetic ER corpus for the pairs/sec metric (cached across runs)

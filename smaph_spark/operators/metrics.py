@@ -204,3 +204,54 @@ def grouped_prf(
                               boots_mic.std(axis=0, ddof=0).tolist())),
         }
     return out
+
+
+def bcubed_prf(clusters: DataFrame, gold_clusters: DataFrame) -> DataFrame:
+    """B-cubed precision/recall/F1 between two clusterings of the same
+    records — THE per-record ER evaluation family (Bagga & Baldwin
+    1998), complementing the pair-counting view of
+    :func:`clusters_pairwise_prf`: B-cubed weights every RECORD
+    equally (a giant wrong cluster costs proportionally), where pair
+    counting weights every PAIR (quadratically favoring big clusters).
+
+    Both inputs are (record_id, cluster_id). Entirely aggregation-
+    shaped — per-record intersection sizes reduce to contingency-cell
+    counts, so the whole metric is two groupBys and a join, no pair
+    materialization:
+
+      P = (1/N) Σ_cells n_cell² / n_pred_cluster
+      R = (1/N) Σ_cells n_cell² / n_gold_cluster
+
+    Returns a ONE-ROW DataFrame (n_records, bcubed_precision,
+    bcubed_recall, bcubed_f1) so callers can hash-compare it
+    engine-vs-engine (er07)."""
+    merged = clusters.alias("p").join(
+        gold_clusters.alias("g"), "record_id"
+    ).select(
+        F.col("p.cluster_id").alias("pc"), F.col("g.cluster_id").alias("gc")
+    )
+    cells = merged.groupBy("pc", "gc").agg(F.count("*").alias("n_cell"))
+    p_sizes = merged.groupBy("pc").agg(F.count("*").alias("n_p"))
+    g_sizes = merged.groupBy("gc").agg(F.count("*").alias("n_g"))
+    per_cell = (
+        cells.join(p_sizes, "pc").join(g_sizes, "gc")
+        .select(
+            "n_cell",
+            (F.col("n_cell") * F.col("n_cell") / F.col("n_p")).alias("psum"),
+            (F.col("n_cell") * F.col("n_cell") / F.col("n_g")).alias("rsum"),
+        )
+    )
+    agg = per_cell.agg(
+        F.sum("n_cell").alias("n_records"),
+        F.sum("psum").alias("ps"),
+        F.sum("rsum").alias("rs"),
+    )
+    prec = F.try_divide(F.col("ps"), F.col("n_records"))
+    rec = F.try_divide(F.col("rs"), F.col("n_records"))
+    f1 = F.try_divide(F.lit(2) * prec * rec, prec + rec)
+    return agg.select(
+        "n_records",
+        F.round(prec, 6).alias("bcubed_precision"),
+        F.round(rec, 6).alias("bcubed_recall"),
+        F.round(F.coalesce(f1, F.lit(0.0)), 6).alias("bcubed_f1"),
+    )

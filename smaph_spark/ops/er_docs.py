@@ -541,3 +541,78 @@ def er_greedy_step_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded = [F.round(F.col(c), 6).alias(c) for c in feats.columns
                if c not in ("group_id", "cand_id")]
     return feats.select("group_id", "cand_id", *rounded)
+
+
+#: DuckDB twin for er07 (pytest-pinned, window full): er03's recursive
+#: CTE labels vs the coarse (lang, source) partition as gold, reduced
+#: to the one-row B-cubed summary via contingency-cell aggregation
+ER07_SQL = rf"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, lang, source,
+             len(string_split_regex(trim(text), '{WS_RE}')) AS n_toks
+      FROM documents WHERE length(trim(text)) > 0),
+    edges AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
+       AND abs(a.n_toks - b.n_toks) <= 2 AND a.doc_id <> b.doc_id),
+    walk(node, label) AS (
+      SELECT doc_id, doc_id FROM t
+      UNION
+      SELECT e.src, w.label FROM edges e JOIN walk w ON w.node = e.dst),
+    labels AS (
+      SELECT node AS doc_id, MIN(label) AS pc FROM walk GROUP BY node),
+    gold AS (
+      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY lang, source) AS gc
+      FROM t),
+    merged AS (
+      SELECT l.pc, g.gc FROM labels l JOIN gold g USING (doc_id)),
+    cells AS (
+      SELECT pc, gc, COUNT(*) AS n_cell FROM merged GROUP BY pc, gc),
+    ps AS (SELECT pc, COUNT(*) AS n_p FROM merged GROUP BY pc),
+    gs AS (SELECT gc, COUNT(*) AS n_g FROM merged GROUP BY gc),
+    sums AS (
+      SELECT SUM(n_cell) AS n_records,
+             SUM(n_cell * n_cell / n_p::DOUBLE) AS psum,
+             SUM(n_cell * n_cell / n_g::DOUBLE) AS rsum
+      FROM cells JOIN ps USING (pc) JOIN gs USING (gc))
+    SELECT n_records,
+           ROUND(psum / n_records, 6) AS bcubed_precision,
+           ROUND(rsum / n_records, 6) AS bcubed_recall,
+           ROUND(2 * (psum / n_records) * (rsum / n_records)
+                 / ((psum / n_records) + (rsum / n_records)), 6)
+             AS bcubed_f1
+    FROM sums
+"""
+
+
+@register(
+    "er07_bcubed_eval",
+    None,  # rows-only at the driver (window full); ER07_SQL is
+    # pytest-pinned with the driver's own comparison
+    survey_ref="B-cubed cluster evaluation (Bagga & Baldwin 1998) — "
+               "per-record P/R/F1 of the token-band clustering vs the "
+               "(lang, source) partition, contingency-cell aggregation "
+               "only (SolutionComputer macro-metrics family, "
+               "learn/SolutionComputer.java:33-184)",
+)
+def er_bcubed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row B-cubed summary: prediction = the deterministic
+    token-band clustering (adaptive CC), gold = the coarse
+    (lang, source) partition — a fully aggregation-shaped eval that
+    never materializes record pairs (scale-safe at any corpus size)."""
+    from pyspark.sql import Window as W
+
+    from smaph_spark.operators.clustering import connected_components
+    from smaph_spark.operators.metrics import bcubed_prf
+
+    t = _tokenband_docs(spark, sf_dir)
+    pairs = _tokenband_candidate_pairs(t).select("left_id", "right_id")
+    labels, _ = connected_components(
+        pairs, ERConfig(),
+        all_records=t.select(F.col("doc_id").alias("record_id")),
+    )
+    gold = t.select(
+        F.col("doc_id").alias("record_id"),
+        F.min("doc_id").over(W.partitionBy("lang", "source")).alias("cluster_id"),
+    )
+    return bcubed_prf(labels, gold)

@@ -90,3 +90,41 @@ def test_grouped_prf_caps_driver_collect(spark):
     # under the cap: full collect, no sampling
     m2 = grouped_prf(pred, gold, "g", n_bootstrap=10, max_groups=1000)
     assert m2["groups_sampled"] is False and m2["n_groups"] == 500
+
+
+def test_bcubed_hand_computed(spark):
+    """Bagga & Baldwin worked example: pred {a,b},{c} vs gold
+    {a},{b,c} -> P = (0.5+0.5+1)/3 = 2/3, R = (1+0.5+0.5)/3 = 2/3."""
+    from smaph_spark.operators.metrics import bcubed_prf
+
+    pred = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 2)], "record_id string, cluster_id long"
+    )
+    gold = spark.createDataFrame(
+        [("a", 10), ("b", 20), ("c", 20)], "record_id string, cluster_id long"
+    )
+    row = bcubed_prf(pred, gold).collect()[0]
+    assert row["n_records"] == 3
+    assert row["bcubed_precision"] == round(2 / 3, 6)
+    assert row["bcubed_recall"] == round(2 / 3, 6)
+    assert row["bcubed_f1"] == round(2 / 3, 6)
+
+    # identical clusterings score exactly 1.0 everywhere
+    perfect = bcubed_prf(pred, pred).collect()[0]
+    assert (perfect["bcubed_precision"], perfect["bcubed_recall"],
+            perfect["bcubed_f1"]) == (1.0, 1.0, 1.0)
+
+
+def test_er07_bcubed_duckdb_parity(spark):
+    """er07 is rows-only at the driver (window full): its DuckDB twin
+    is pinned here with the driver's exact comparison."""
+    from smaph_spark.ops.er_docs import ER07_SQL
+    from smaph_spark.plans.parity import check_query
+    from smaph_spark.plans.star_queries import QUERIES
+
+    spec = QUERIES["er07_bcubed_eval"]
+    res = check_query(
+        spark, "/root/testdata/sf0.001", "er07_bcubed_eval", spec.fn,
+        ER07_SQL,
+    )
+    assert res["ok"], res
