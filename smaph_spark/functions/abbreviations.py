@@ -45,6 +45,17 @@ def clean_abbrev_py(s: str) -> str:
     return re.sub(NON_WORD_RE, "", s).lower()
 
 
+def acronym_of(phrase_col) -> F.Column:
+    """First-letter acronym of a whitespace-tokenized phrase, cleaned
+    — the ONE home of the derivation (round-5 review: the ab01 query
+    had re-inlined it, letting dictionary keys and lookup keys
+    drift)."""
+    toks = F.split(F.trim(phrase_col), r"\s+")
+    return clean_abbrev(
+        F.array_join(F.transform(toks, lambda t: F.substring(t, 1, 1)), "")
+    )
+
+
 def build_acronym_dictionary(df: DataFrame, phrase_col: str) -> DataFrame:
     """Derive an acronym dictionary FROM a phrase column: for every
     whitespace-tokenized phrase, abbrev = cleaned first letters of its
@@ -53,13 +64,12 @@ def build_acronym_dictionary(df: DataFrame, phrase_col: str) -> DataFrame:
     list; its order is API-response order, which has no analogue, so
     the recast pins lexicographic order for determinism). One narrow
     shuffle on the abbrev key; output is dictionary-sized (small)."""
-    toks = F.split(F.trim(F.col(phrase_col)), r"\s+")
-    acro = clean_abbrev(
-        F.array_join(F.transform(toks, lambda t: F.substring(t, 1, 1)), "")
-    )
     return (
         df.filter(F.length(F.trim(F.col(phrase_col))) > 0)
-        .select(acro.alias("abbrev"), F.col(phrase_col).alias("expansion"))
+        .select(
+            acronym_of(F.col(phrase_col)).alias("abbrev"),
+            F.col(phrase_col).alias("expansion"),
+        )
         .filter(F.length("abbrev") > 0)
         .distinct()
         .groupBy("abbrev")
@@ -72,7 +82,17 @@ def expand_abbreviations(
 ) -> DataFrame:
     """AbbreviationExpansion.expand over a column: broadcast-join the
     dictionary on the CLEANED abbreviation; a missing term yields a
-    NULL expansions array (the interface's "cannot be expanded")."""
+    NULL expansions array (the interface's "cannot be expanded").
+    The output adds an ``expansions`` column, so the input must not
+    already carry one (chain a second expansion by renaming the first
+    result out of the way) — guarded, not silent (round-5 review)."""
+    for reserved in ("expansions", "_clean_abbrev"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"expand_abbreviations: input already has a "
+                f"{reserved!r} column; rename it before expanding "
+                "(the join output would be ambiguous)"
+            )
     return df.withColumn("_clean_abbrev", clean_abbrev(F.col(abbrev_col))).join(
         F.broadcast(
             dictionary.select(

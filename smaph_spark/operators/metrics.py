@@ -225,14 +225,38 @@ def bcubed_prf(clusters: DataFrame, gold_clusters: DataFrame) -> DataFrame:
     Returns a ONE-ROW DataFrame (n_records, bcubed_precision,
     bcubed_recall, bcubed_f1) so callers can hash-compare it
     engine-vs-engine (er07)."""
+    # CONTRACT: both inputs cover the same records, one row each — the
+    # inner join would otherwise silently drop one-sided records and
+    # multiply duplicates into every contingency cell. One narrow agg
+    # per side; an eval metric can afford the guard (round-5 review).
+    def _coverage(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count("record_id").alias("n"),
+            F.count_distinct("record_id").alias("d"),
+        ).collect()[0]
+        return int(row["n"]), int(row["d"])
+
+    n_c, d_c = _coverage(clusters)
+    n_g, d_g = _coverage(gold_clusters)
     merged = clusters.alias("p").join(
         gold_clusters.alias("g"), "record_id"
     ).select(
         F.col("p.cluster_id").alias("pc"), F.col("g.cluster_id").alias("gc")
     )
-    cells = merged.groupBy("pc", "gc").agg(F.count("*").alias("n_cell"))
-    p_sizes = merged.groupBy("pc").agg(F.count("*").alias("n_p"))
-    g_sizes = merged.groupBy("gc").agg(F.count("*").alias("n_g"))
+    cells = merged.groupBy("pc", "gc").agg(F.count("*").alias("n_cell")).persist()
+    n_m = cells.agg(F.sum("n_cell")).collect()[0][0] or 0
+    if not (n_c == d_c and n_g == d_g and n_c == n_g == n_m):
+        cells.unpersist()
+        raise ValueError(
+            "bcubed_prf: clusterings must cover the same records exactly "
+            f"once each (pred rows={n_c}/distinct {d_c}, gold rows={n_g}/"
+            f"distinct {d_g}, joined={n_m}); records in only one side or "
+            "duplicate record_ids would silently mis-score"
+        )
+    # cluster sizes derive FROM the cells (cells partition merged), so
+    # the clusters×gold join executes once, not three times
+    p_sizes = cells.groupBy("pc").agg(F.sum("n_cell").alias("n_p"))
+    g_sizes = cells.groupBy("gc").agg(F.sum("n_cell").alias("n_g"))
     per_cell = (
         cells.join(p_sizes, "pc").join(g_sizes, "gc")
         .select(
@@ -248,10 +272,18 @@ def bcubed_prf(clusters: DataFrame, gold_clusters: DataFrame) -> DataFrame:
     )
     prec = F.try_divide(F.col("ps"), F.col("n_records"))
     rec = F.try_divide(F.col("rs"), F.col("n_records"))
+    # NULL (not 0.0) on empty input in every column, matching the SQL
+    # twin's NULL propagation exactly (round-5 review)
     f1 = F.try_divide(F.lit(2) * prec * rec, prec + rec)
-    return agg.select(
-        "n_records",
-        F.round(prec, 6).alias("bcubed_precision"),
-        F.round(rec, 6).alias("bcubed_recall"),
-        F.round(F.coalesce(f1, F.lit(0.0)), 6).alias("bcubed_f1"),
-    )
+    try:
+        # one-row result: materialize eagerly so the cells cache can be
+        # released before returning (no persisted-frame leak per call)
+        out = agg.select(
+            "n_records",
+            F.round(prec, 6).alias("bcubed_precision"),
+            F.round(rec, 6).alias("bcubed_recall"),
+            F.round(f1, 6).alias("bcubed_f1"),
+        ).localCheckpoint(eager=True)
+    finally:
+        cells.unpersist()
+    return out

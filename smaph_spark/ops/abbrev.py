@@ -11,8 +11,8 @@ AbbreviationExpansion.java:1-20.
 
 Registered rows-only (the 50-slot driver window is full — see the
 rotation policy in __spark_entry__.py); the DuckDB twin below is
-pinned by tests/test_oracle_parity.py::test_ab01_duckdb_parity via
-the SAME check_query comparison the driver runs.
+pinned by tests/test_abbrev.py::test_ab01_duckdb_parity via the SAME
+check_query comparison the driver runs.
 """
 
 from __future__ import annotations
@@ -58,18 +58,15 @@ AB01_SQL = r"""
                "expand + membership",
 )
 def ab_abbrev_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smaph_spark.functions.abbreviations import acronym_of
+
     p = load(spark, sf_dir, "part").filter(
         F.length(F.trim("p_name")) > 0
     ).select("p_partkey", "p_name")
     dictionary = build_acronym_dictionary(p, "p_name")
-    toks = F.split(F.trim(F.col("p_name")), r"\s+")
-    from smaph_spark.functions.abbreviations import clean_abbrev
-
-    acro = clean_abbrev(
-        F.array_join(F.transform(toks, lambda t: F.substring(t, 1, 1)), "")
-    )
     expanded = expand_abbreviations(
-        p.withColumn("abbrev", acro), "abbrev", dictionary
+        p.withColumn("abbrev", acronym_of(F.col("p_name"))),
+        "abbrev", dictionary,
     )
     # explicit NULL branch: size(NULL) is -1 under legacy sizeOfNull,
     # so coalesce alone would mis-count missing dictionary entries

@@ -78,3 +78,14 @@ def test_ab01_duckdb_parity(spark):
     spec = QUERIES["ab01_abbrev_expansion"]
     res = check_query(spark, SF, "ab01_abbrev_expansion", spec.fn, AB01_SQL)
     assert res["ok"], res
+
+
+def test_expand_rejects_reserved_columns(spark):
+    """Round-5 review: an input already carrying `expansions` would
+    make the join output ambiguous — guarded, not silent."""
+    d = build_acronym_dictionary(
+        spark.createDataFrame([("Alpha Beta",)], ["p"]), "p"
+    )
+    bad = spark.createDataFrame([("ab", ["x"])], "abbrev string, expansions array<string>")
+    with pytest.raises(ValueError, match="expansions"):
+        expand_abbreviations(bad, "abbrev", d)

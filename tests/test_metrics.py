@@ -128,3 +128,25 @@ def test_er07_bcubed_duckdb_parity(spark):
         ER07_SQL,
     )
     assert res["ok"], res
+
+
+def test_bcubed_coverage_contract_enforced(spark):
+    """Round-5 review: mismatched record coverage or duplicate ids
+    must raise, not silently mis-score over the joined subset."""
+    import pytest as _pytest
+
+    pred = spark.createDataFrame(
+        [("a", 1), ("b", 1)], "record_id string, cluster_id long"
+    )
+    gold3 = spark.createDataFrame(
+        [("a", 10), ("b", 20), ("c", 20)], "record_id string, cluster_id long"
+    )
+    from smaph_spark.operators.metrics import bcubed_prf
+
+    with _pytest.raises(ValueError, match="same records"):
+        bcubed_prf(pred, gold3)
+    dup = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 1)], "record_id string, cluster_id long"
+    )
+    with _pytest.raises(ValueError, match="same records"):
+        bcubed_prf(dup, gold3)
