@@ -393,7 +393,10 @@ def main_dd09_scaling() -> None:
             os.path.join(sf_dir, "documents.parquet")
         ).filter(F.length(F.coalesce("text", F.lit(""))) > 0)),
         ("er_bench_files", files_as_docs(ensure_corpus(spark))),
-        ("scale_files_80k", files_as_docs(scale_corpus)),
+        # level label derives from the corpus path (an env-var override
+        # must not report under the default corpus's name)
+        (f"scale_files_{os.path.basename(scale_corpus.rstrip('/'))}",
+         files_as_docs(scale_corpus)),
     ]
     rows_out = []
     for name, docs in corpora:
