@@ -62,6 +62,7 @@ HEADLINE = [
     "er06_greedy_step_features",
     "ab01_abbrev_expansion",
     "er07_bcubed_eval",
+    "ds04_weighted_sample",
 ]
 
 # synthetic ER corpus for the pairs/sec metric (cached across runs)

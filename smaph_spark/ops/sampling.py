@@ -174,3 +174,79 @@ def ds_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang"), "doc_id", "lang",
         {"en": 0.5, "de": 0.2}, default=0.1,
     )
+
+
+def weighted_sample_keys(id_col, weight_col):
+    """Efraimidis-Spirakis priority key for weighted sampling WITHOUT
+    replacement (Efraimidis & Spirakis 2006: draw u~U(0,1] per record,
+    rank by u^(1/w) descending; the top-k of that ranking is exactly a
+    weight-proportional sample). Deterministic + engine-portable: u
+    derives from the same md5-prefix integer as hash_bucket, so the
+    SAME records are selected on any engine, any partition layout, any
+    cluster size — no rand(). Ranked on ln(u)/w (monotone transform of
+    u^(1/w); avoids pow underflow for large weights)."""
+    h = F.conv(
+        F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(4294967297.0)  # (0, 1]
+    return F.log(u) / weight_col.cast("double")
+
+
+def weighted_sample(
+    df: DataFrame, id_col: str, weight_col: str, k: int,
+    stratum_cols: list[str] | None = None,
+) -> DataFrame:
+    """Top-k weight-proportional sample per stratum (A-ES scheme): one
+    window ranking per stratum, no shuffle beyond the stratum key —
+    the curation primitive for quality-weighted training-data
+    selection at corpus scale. Non-positive weights are excluded by
+    contract (their E-S key is undefined)."""
+    from pyspark.sql import Window as W
+
+    strata = stratum_cols or []
+    w = (
+        W.partitionBy(*strata).orderBy(
+            F.desc("_es_key"), F.col(id_col)
+        )
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn(
+            "_es_key", weighted_sample_keys(F.col(id_col), F.col(weight_col))
+        )
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .drop("_es_key")
+    )
+
+
+#: DuckDB twin (pytest-pinned — driver window full; same ln(u)/w key)
+DS04_SQL = """
+    SELECT lang, doc_id, n_chars, sample_rank FROM (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                 AS BIGINT) + 1.0) / 4294967297.0)
+                        / CAST(n_chars AS DOUBLE) DESC,
+                        doc_id) AS sample_rank
+      FROM documents WHERE n_chars > 0)
+    WHERE sample_rank <= 5
+"""
+
+
+@register(
+    "ds04_weighted_sample",
+    None,  # rows-only at the driver (window full); DS04_SQL is
+    # pytest-pinned with the driver's own comparison
+    survey_ref="weighted priority sampling without replacement "
+               "(Efraimidis-Spirakis A-ES; beyond-reference training-"
+               "data op — deterministic quality-weighted selection, "
+               "top-5 per lang by n_chars weight, no rand())",
+)
+def ds_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return weighted_sample(
+        d.select("lang", "doc_id", "n_chars"),
+        "doc_id", "n_chars", 5, ["lang"],
+    )

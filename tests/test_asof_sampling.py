@@ -284,3 +284,58 @@ def test_temporal_split_null_timestamps_quarantined(spark):
     got = {r["event_id"]: r["split"] for r in temporal_split(df, "ts").collect()}
     assert all(got[100 + i] == "unknown" for i in range(3))
     assert set(got.values()) >= {"train", "test", "unknown"}
+
+
+def test_ds04_weighted_sample_matches_python_reference(spark):
+    """A-ES correctness on a small fixture: selection must equal an
+    independent python implementation of the same scheme (md5-derived
+    u, key u^(1/w), top-k), and be layout-independent."""
+    import hashlib
+    import math
+
+    from smaph_spark.ops.sampling import weighted_sample
+
+    rows = [(i, "s", float(1 + (i * 7) % 50)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, g string, w double")
+    got = {
+        (r["id"], r["sample_rank"])
+        for r in weighted_sample(df, "id", "w", 7, ["g"]).collect()
+    }
+
+    def es_key(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        u = (h + 1.0) / 4294967297.0
+        return math.log(u) / w
+
+    ref = sorted(rows, key=lambda r: (-es_key(r[0], r[2]), r[0]))[:7]
+    want = {(r[0], i + 1) for i, r in enumerate(ref)}
+    assert got == want
+
+    # partition-layout independence (the property rand() lacks)
+    again = {
+        (r["id"], r["sample_rank"])
+        for r in weighted_sample(
+            df.repartition(13), "id", "w", 7, ["g"]
+        ).collect()
+    }
+    assert again == got
+
+    # non-positive weights are excluded by contract
+    with_zero = df.union(spark.createDataFrame([(999, "s", 0.0)], df.schema))
+    z = weighted_sample(with_zero, "id", "w", 7, ["g"]).collect()
+    assert all(r["id"] != 999 for r in z)
+
+
+def test_ds04_duckdb_parity(spark):
+    """ds04 is rows-only at the driver (window full): its DuckDB twin
+    is pinned here with the driver's exact comparison."""
+    from smaph_spark.ops.sampling import DS04_SQL
+    from smaph_spark.plans.parity import check_query
+    from smaph_spark.plans.star_queries import QUERIES
+
+    spec = QUERIES["ds04_weighted_sample"]
+    res = check_query(
+        spark, "/root/testdata/sf0.001", "ds04_weighted_sample", spec.fn,
+        DS04_SQL,
+    )
+    assert res["ok"], res
