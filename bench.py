@@ -395,8 +395,12 @@ def main_dd09_scaling() -> None:
         ).filter(F.length(F.coalesce("text", F.lit(""))) > 0)),
         ("er_bench_files", files_as_docs(ensure_corpus(spark))),
         # level label derives from the corpus path (an env-var override
-        # must not report under the default corpus's name)
-        (f"scale_files_{os.path.basename(scale_corpus.rstrip('/'))}",
+        # must not report under the default corpus's name); the shared
+        # smaph_scale_corpus_ prefix is stripped so the default run
+        # still reports as scale_files_80k_42 — continuous with the
+        # BENCH.md trend tables (round-5 review)
+        ("scale_files_" + os.path.basename(scale_corpus.rstrip("/"))
+         .removeprefix("smaph_scale_corpus_"),
          files_as_docs(scale_corpus)),
     ]
     rows_out = []

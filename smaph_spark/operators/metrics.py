@@ -229,53 +229,66 @@ def bcubed_prf(clusters: DataFrame, gold_clusters: DataFrame) -> DataFrame:
     # inner join would otherwise silently drop one-sided records and
     # multiply duplicates into every contingency cell. One narrow agg
     # per side; an eval metric can afford the guard (round-5 review).
-    def _coverage(df: DataFrame) -> tuple[int, int]:
+    def _coverage(df: DataFrame, side: str) -> tuple[int, int]:
         row = df.agg(
+            F.count(F.lit(1)).alias("rows"),
             F.count("record_id").alias("n"),
             F.count_distinct("record_id").alias("d"),
         ).collect()[0]
+        if int(row["rows"]) != int(row["n"]):
+            # count()/count_distinct skip NULLs, so a NULL id would
+            # otherwise slip past the guard and be silently dropped by
+            # the join (round-5 review)
+            raise ValueError(
+                f"bcubed_prf: {side} has "
+                f"{int(row['rows']) - int(row['n'])} NULL record_id "
+                "row(s); every record must have a non-null id"
+            )
         return int(row["n"]), int(row["d"])
 
-    n_c, d_c = _coverage(clusters)
-    n_g, d_g = _coverage(gold_clusters)
+    n_c, d_c = _coverage(clusters, "clusters")
+    n_g, d_g = _coverage(gold_clusters, "gold_clusters")
     merged = clusters.alias("p").join(
         gold_clusters.alias("g"), "record_id"
     ).select(
         F.col("p.cluster_id").alias("pc"), F.col("g.cluster_id").alias("gc")
     )
     cells = merged.groupBy("pc", "gc").agg(F.count("*").alias("n_cell")).persist()
-    n_m = cells.agg(F.sum("n_cell")).collect()[0][0] or 0
-    if not (n_c == d_c and n_g == d_g and n_c == n_g == n_m):
-        cells.unpersist()
-        raise ValueError(
-            "bcubed_prf: clusterings must cover the same records exactly "
-            f"once each (pred rows={n_c}/distinct {d_c}, gold rows={n_g}/"
-            f"distinct {d_g}, joined={n_m}); records in only one side or "
-            "duplicate record_ids would silently mis-score"
-        )
-    # cluster sizes derive FROM the cells (cells partition merged), so
-    # the clusters×gold join executes once, not three times
-    p_sizes = cells.groupBy("pc").agg(F.sum("n_cell").alias("n_p"))
-    g_sizes = cells.groupBy("gc").agg(F.sum("n_cell").alias("n_g"))
-    per_cell = (
-        cells.join(p_sizes, "pc").join(g_sizes, "gc")
-        .select(
-            "n_cell",
-            (F.col("n_cell") * F.col("n_cell") / F.col("n_p")).alias("psum"),
-            (F.col("n_cell") * F.col("n_cell") / F.col("n_g")).alias("rsum"),
-        )
-    )
-    agg = per_cell.agg(
-        F.sum("n_cell").alias("n_records"),
-        F.sum("psum").alias("ps"),
-        F.sum("rsum").alias("rs"),
-    )
-    prec = F.try_divide(F.col("ps"), F.col("n_records"))
-    rec = F.try_divide(F.col("rs"), F.col("n_records"))
-    # NULL (not 0.0) on empty input in every column, matching the SQL
-    # twin's NULL propagation exactly (round-5 review)
-    f1 = F.try_divide(F.lit(2) * prec * rec, prec + rec)
+    # EVERY action on the persisted frame sits inside the try, so a
+    # failed Spark job cannot leak cached partitions (round-5 review —
+    # the guard-fail path and the probe itself included)
     try:
+        n_m = cells.agg(F.sum("n_cell")).collect()[0][0] or 0
+        if not (n_c == d_c and n_g == d_g and n_c == n_g == n_m):
+            raise ValueError(
+                "bcubed_prf: clusterings must cover the same records "
+                f"exactly once each (pred rows={n_c}/distinct {d_c}, gold "
+                f"rows={n_g}/distinct {d_g}, joined={n_m}); records in "
+                "only one side or duplicate record_ids would silently "
+                "mis-score"
+            )
+        # cluster sizes derive FROM the cells (cells partition merged),
+        # so the clusters×gold join executes once, not three times
+        p_sizes = cells.groupBy("pc").agg(F.sum("n_cell").alias("n_p"))
+        g_sizes = cells.groupBy("gc").agg(F.sum("n_cell").alias("n_g"))
+        per_cell = (
+            cells.join(p_sizes, "pc").join(g_sizes, "gc")
+            .select(
+                "n_cell",
+                (F.col("n_cell") * F.col("n_cell") / F.col("n_p")).alias("psum"),
+                (F.col("n_cell") * F.col("n_cell") / F.col("n_g")).alias("rsum"),
+            )
+        )
+        agg = per_cell.agg(
+            F.sum("n_cell").alias("n_records"),
+            F.sum("psum").alias("ps"),
+            F.sum("rsum").alias("rs"),
+        )
+        prec = F.try_divide(F.col("ps"), F.col("n_records"))
+        rec = F.try_divide(F.col("rs"), F.col("n_records"))
+        # NULL (not 0.0) on empty input in every column, matching the
+        # SQL twin's NULL propagation exactly (round-5 review)
+        f1 = F.try_divide(F.lit(2) * prec * rec, prec + rec)
         # one-row result: materialize eagerly so the cells cache can be
         # released before returning (no persisted-frame leak per call)
         out = agg.select(

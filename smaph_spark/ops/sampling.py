@@ -17,16 +17,22 @@ from pyspark.sql import functions as F
 from smaph_spark.plans.star_queries import load, register
 
 
+def md5_prefix_int(col) -> F.Column:
+    """First 8 hex chars of md5 of the value's string form, as an
+    integer in [0, 2^32) — THE engine-portable uniform-hash primitive
+    (one home, round-5 review: hash_bucket, the weighted-sample
+    priority, and the SQL twins must all derive from the same recipe).
+    md5 (not xxhash64) because every engine computes the identical
+    digest; one md5 per row is noise next to any real feature work."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 8), 16, 10
+    ).cast("long")
+
+
 def hash_bucket(col, n_buckets: int = 10):
-    """Engine-portable deterministic bucket in [0, n_buckets): first 8
-    hex chars of md5 of the id's string form, as an integer. md5 (not
-    xxhash64) because every engine computes the identical digest — the
-    point is cross-engine reproducibility of the SPLIT, not hash speed;
-    one md5 per row is noise next to any real feature work."""
-    return (
-        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
-        .cast("long") % n_buckets
-    )
+    """Engine-portable deterministic bucket in [0, n_buckets) — see
+    :func:`md5_prefix_int` for the digest recipe and why md5."""
+    return md5_prefix_int(col) % n_buckets
 
 
 def deterministic_split(
@@ -185,10 +191,9 @@ def weighted_sample_keys(id_col, weight_col):
     SAME records are selected on any engine, any partition layout, any
     cluster size — no rand(). Ranked on ln(u)/w (monotone transform of
     u^(1/w); avoids pow underflow for large weights)."""
-    h = F.conv(
-        F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10
-    ).cast("double")
-    u = (h + F.lit(1.0)) / F.lit(4294967297.0)  # (0, 1]
+    u = (md5_prefix_int(id_col).cast("double") + F.lit(1.0)) / F.lit(
+        4294967297.0
+    )  # (0, 1]
     return F.log(u) / weight_col.cast("double")
 
 
@@ -200,22 +205,30 @@ def weighted_sample(
     window ranking per stratum, no shuffle beyond the stratum key —
     the curation primitive for quality-weighted training-data
     selection at corpus scale. Non-positive weights are excluded by
-    contract (their E-S key is undefined)."""
+    contract (their E-S key is undefined).
+
+    GLOBAL sampling (no strata) does NOT use an unpartitioned window
+    (that funnels the whole corpus through one task — round-5 review):
+    it takes the distributed sort's top-k via orderBy+limit (Spark
+    plans TakeOrderedAndProject: per-partition top-k, then a k-row
+    merge on the driver) and ranks only the k survivors."""
     from pyspark.sql import Window as W
 
-    strata = stratum_cols or []
-    w = (
-        W.partitionBy(*strata).orderBy(
-            F.desc("_es_key"), F.col(id_col)
-        )
+    keyed = df.filter(F.col(weight_col) > 0).withColumn(
+        "_es_key", weighted_sample_keys(F.col(id_col), F.col(weight_col))
     )
-    return (
-        df.filter(F.col(weight_col) > 0)
-        .withColumn(
-            "_es_key", weighted_sample_keys(F.col(id_col), F.col(weight_col))
+    strata = stratum_cols or []
+    if strata:
+        w = W.partitionBy(*strata).orderBy(F.desc("_es_key"), F.col(id_col))
+        return (
+            keyed.withColumn("sample_rank", F.row_number().over(w))
+            .filter(F.col("sample_rank") <= k)
+            .drop("_es_key")
         )
-        .withColumn("sample_rank", F.row_number().over(w))
-        .filter(F.col("sample_rank") <= k)
+    top = keyed.orderBy(F.desc("_es_key"), F.col(id_col)).limit(k)
+    w = W.orderBy(F.desc("_es_key"), F.col(id_col))  # k rows only
+    return (
+        top.withColumn("sample_rank", F.row_number().over(w))
         .drop("_es_key")
     )
 

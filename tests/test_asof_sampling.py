@@ -339,3 +339,22 @@ def test_ds04_duckdb_parity(spark):
         DS04_SQL,
     )
     assert res["ok"], res
+
+
+def test_ds04_global_topk_no_full_window(spark):
+    """Global (strata-less) sampling must match the single-stratum
+    result and avoid the unpartitioned-window plan (round-5 review):
+    the plan takes a distributed top-k, not a full-corpus window."""
+    from smaph_spark.ops.sampling import weighted_sample
+
+    rows = [(i, float(1 + (i * 11) % 30)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    g = weighted_sample(df, "id", "w", 6)
+    got = {(r["id"], r["sample_rank"]) for r in g.collect()}
+    strat = weighted_sample(
+        df.withColumn("s", F.lit("x")), "id", "w", 6, ["s"]
+    )
+    want = {(r["id"], r["sample_rank"]) for r in strat.collect()}
+    assert got == want and len(got) == 6
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

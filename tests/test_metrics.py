@@ -150,3 +150,21 @@ def test_bcubed_coverage_contract_enforced(spark):
     )
     with _pytest.raises(ValueError, match="same records"):
         bcubed_prf(dup, gold3)
+
+
+def test_bcubed_rejects_null_record_ids(spark):
+    """Round-5 review: count()/count_distinct skip NULLs, so a NULL id
+    needs its own guard — it would otherwise be silently dropped by
+    the join while the coverage check passes."""
+    import pytest as _pytest
+
+    from smaph_spark.operators.metrics import bcubed_prf
+
+    pred = spark.createDataFrame(
+        [(None, 1), ("a", 1)], "record_id string, cluster_id long"
+    )
+    gold = spark.createDataFrame(
+        [("a", 10)], "record_id string, cluster_id long"
+    )
+    with _pytest.raises(ValueError, match="NULL record_id"):
+        bcubed_prf(pred, gold)
