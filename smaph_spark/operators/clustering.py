@@ -9,14 +9,22 @@ DataFrame self-joins (SURVEY §4 item 2), with ``localCheckpoint`` every
 detected when no label changes. Cluster id = min record_id of the
 component (deterministic).
 
-Scale notes: each iteration is one shuffle on record_id for the
-neighbour step plus one self-join for pointer jumping
-(label[x] <- label[label[x]]), so iteration count is O(log component
-diameter) — a million-node CHAIN converges in ~20 iterations, where
-plain hash-min label propagation would need a million (dup clusters
-are near-cliques needing 2-3 either way; the jump step is what makes
-the chain-shaped graphs of er03's token-band buckets safe at any
-corpus size). AQE handles skewed high-degree nodes; the blocking cap
+Scale notes (round-6 optimization): the distributed path is hash-min +
+one pointer-jump per round **with edge contraction** — after each
+round the edge set is rewritten onto the surviving labels
+((lab(u), lab(v)), self-loops and duplicates dropped), so dense
+near-clique components collapse after ONE pass and every later round
+runs over a geometrically smaller graph. The previous implementation
+kept the FULL edge table through every iteration: at the sf1.0 gate
+corpus (913k token-band edges, 101 components) that cost 8-10
+iterations x ~12.5 task-seconds each (measured; see
+OPTIMIZATION_r06.md) where the contracted loop pays ~1.3x the first
+round. Iteration count stays O(log component diameter) on chains
+(pointer jumping), bounded by ``cc_max_iterations`` with a warning.
+When the contracted edge set falls under ``cc_local_threshold`` the
+round finishes with the driver union-find over the (tiny) supernode
+graph — the same documented bound as the all-local fast path, never
+the raw input. AQE handles skewed high-degree nodes; the blocking cap
 bounds max degree upstream.
 """
 
@@ -55,6 +63,11 @@ def connected_components(
     records appear as singleton clusters (cluster_id = record_id).
     Returns (clusters, per-iteration metrics list).
     """
+    # ONE materialization of the (often expensive) upstream pair plan:
+    # previously the size probe, the edge canonicalization checkpoint
+    # and the local-path collect each re-ran the whole candidate join
+    # (er06/er07 recomputed the sf1.0 banded self-join 2-3x per query)
+    matches = matches.select("left_id", "right_id").localCheckpoint(eager=True)
     n_edges = matches.count()
     if n_edges <= cfg.cc_local_threshold:
         # tiny match graph: the iterative machinery (eager checkpoints +
@@ -62,117 +75,160 @@ def connected_components(
         # over a driver-local edge list (bounded at cc_local_threshold
         # rows, a few MB) produces the identical min-id labeling
         return _local_connected_components(matches, all_records, n_edges)
-    edges = (
+    # canonical undirected edge list over SUPERNODES (initially the raw
+    # nodes); rewritten (contracted) every round
+    E = (
         matches.select(
-            F.col("left_id").alias("src"), F.col("right_id").alias("dst")
+            F.least("left_id", "right_id").alias("src"),
+            F.greatest("left_id", "right_id").alias("dst"),
         )
-        .union(
-            matches.select(
-                F.col("right_id").alias("src"), F.col("left_id").alias("dst")
-            )
-        )
+        .filter(F.col("src") != F.col("dst"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    # full node -> component-label mapping, refined each round by
+    # composing with the round's supernode relabeling
     labels = (
-        edges.select(F.col("src").alias("record_id"))
+        E.select(F.col("src").alias("record_id"))
+        .union(E.select(F.col("dst").alias("record_id")))
         .distinct()
         .withColumn("cluster_id", F.col("record_id"))
+        .localCheckpoint(eager=True)
     )
-    labels = labels.localCheckpoint(eager=True)
-    edges = edges.localCheckpoint(eager=True)
 
     history: list[dict] = []
-    prev_cached = None
-    changed = 0
+    e_count = E.count()
+    labels_checkpointed = True
     for it in range(cfg.cc_max_iterations):
-        # candidate label per node: min over neighbours' labels
-        neigh = (
-            edges.join(labels, edges.dst == labels.record_id)
-            .groupBy("src")
-            .agg(F.min("cluster_id").alias("neigh_min"))
-        )
-        stepped = (
-            labels.join(neigh, labels.record_id == neigh.src, "left")
-            .select(
-                "record_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("neigh_min"), F.col("cluster_id"))
-                ).alias("mid_cluster_id"),
-                F.col("cluster_id"),
-            )
-        ).persist()
-        # pointer jumping: label[x] <- label[label[x]]. Neighbour
-        # propagation alone needs ~diameter iterations — a CHAIN graph
-        # (er03's token-band buckets produce exactly that shape) would
-        # outrun any fixed iteration cap as the corpus grows. Labels
-        # are node ids, so one self-join per iteration halves the
-        # remaining chain depth: convergence in O(log diameter).
-        ptr = stepped.select(
-            F.col("record_id").alias("pj_id"),
-            F.col("mid_cluster_id").alias("pj_lab"),
-        )
-        new_labels = (
-            stepped.join(ptr, stepped.mid_cluster_id == ptr.pj_id, "left")
-            .select(
-                "record_id",
-                F.least(
-                    F.col("mid_cluster_id"),
-                    F.coalesce(F.col("pj_lab"), F.col("mid_cluster_id")),
-                ).alias("new_cluster_id"),
-                F.col("cluster_id"),
-            )
-        ).persist()
-        # ONE action per iteration: the agg materializes the persisted
-        # labels AND returns the convergence count (previously a
-        # .count() job plus a separate checkpoint job recomputed the
-        # same shuffle — the dominant per-iteration driver overhead)
-        changed = int(
-            new_labels.agg(
-                F.sum(
-                    (F.col("new_cluster_id") != F.col("cluster_id")).cast("long")
-                ).alias("c")
-            ).collect()[0]["c"]
-            or 0
-        )
-        # the action above baked stepped into new_labels' persisted
-        # partitions (both sides of the self-join read the same cache)
-        stepped.unpersist()
-        labels = new_labels.select(
-            "record_id", F.col("new_cluster_id").alias("cluster_id")
-        )
-        final_checkpointed = False
-        if (it + 1) % cfg.cc_checkpoint_every == 0 or changed == 0:
-            # truncate lineage (plan growth, not recompute, is the cost
-            # once each step reads from the persisted parent)
-            labels = labels.localCheckpoint(eager=True)
-            new_labels.unpersist()
-            final_checkpointed = True
-        if prev_cached is not None:
-            prev_cached.unpersist()
-        prev_cached = new_labels
-        history.append({"iteration": it, "label_changes": int(changed)})
-        if changed == 0:
+        if e_count == 0:
             break
-    # exhausting cc_max_iterations off the checkpoint cadence would
-    # leave the final iteration's persisted frame cached forever
-    # (round-2 ADVICE): detach labels from it, then drop it
-    if prev_cached is not None:
-        if not final_checkpointed:
+        if 0 < e_count <= cfg.cc_local_threshold:
+            # the contracted supernode graph fits the documented local
+            # bound: finish with the driver union-find (identical min-id
+            # labels) instead of more distributed rounds. This is never
+            # the raw input — only a graph already shrunk below
+            # cc_local_threshold edges.
+            sub, _ = _local_connected_components(
+                E.select(
+                    F.col("src").alias("left_id"),
+                    F.col("dst").alias("right_id"),
+                ),
+                None,
+                e_count,
+            )
+            comp = F.broadcast(
+                sub.select(
+                    F.col("record_id").alias("_n"),
+                    F.col("cluster_id").alias("_c"),
+                )
+            )
+            labels = (
+                labels.join(comp, labels.cluster_id == F.col("_n"), "left")
+                .select(
+                    "record_id",
+                    F.coalesce("_c", "cluster_id").alias("cluster_id"),
+                )
+            )
+            labels_checkpointed = False
+            history.append(
+                {"iteration": it, "local_finish_edges": int(e_count)}
+            )
+            e_count = 0
+            break
+        # hash-min step: each supernode takes min(self, neighbours).
+        # The result is a pointer FOREST (every chain strictly
+        # decreases to a local-minimum root).
+        lab = (
+            E.select(F.col("src").alias("node"), F.col("dst").alias("nb"))
+            .union(E.select(F.col("dst").alias("node"), F.col("src").alias("nb")))
+            .groupBy("node")
+            .agg(F.min("nb").alias("mn"))
+            .select("node", F.least("node", "mn").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        # pointer-jump TO CLOSURE (lab <- lab[lab] until fixpoint): the
+        # lab table is one row per supernode — tiny next to E — and
+        # each jump halves the remaining pointer depth, so this loop is
+        # O(log diameter) joins over a small table. Collapsing every
+        # hash-min tree to its root before contracting is what keeps
+        # the OUTER round count low on chain-shaped graphs (er03's
+        # token-band runs): a 300-hop chain closes in one outer round.
+        for _ in range(64):  # 2^64 depth bound — never binding
+            ptr = lab.select(
+                F.col("node").alias("pj_node"), F.col("lab").alias("pj_lab")
+            )
+            stepped = (
+                lab.join(ptr, lab.lab == ptr.pj_node, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("lab"), F.coalesce("pj_lab", F.col("lab"))
+                    ).alias("lab"),
+                    F.col("lab").alias("_old"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            moved = stepped.filter(F.col("lab") != F.col("_old")).count()
+            lab = stepped.select("node", "lab")
+            if moved == 0:
+                break
+        # compose the global mapping with this round's relabeling
+        # (labels' cluster_id values are exactly the previous round's
+        # supernode ids, so a left join + coalesce covers supernodes
+        # that had no remaining edges)
+        labels = (
+            labels.join(
+                lab.select(
+                    F.col("node").alias("_n"), F.col("lab").alias("_l")
+                ),
+                labels.cluster_id == F.col("_n"),
+                "left",
+            )
+            .select(
+                "record_id", F.coalesce("_l", "cluster_id").alias("cluster_id")
+            )
+        )
+        labels_checkpointed = False
+        if (it + 1) % cfg.cc_checkpoint_every == 0:
             labels = labels.localCheckpoint(eager=True)
-        prev_cached.unpersist()
-    if changed != 0:
-        # a transitive chain longer than cc_max_iterations hops would be
-        # silently split — surface it (ADVICE round 1)
+            labels_checkpointed = True
+        # contract: rewrite edges onto the new labels, drop self-loops
+        # and duplicates — the graph shrinks geometrically, so round
+        # r+1 is much cheaper than round r (the old loop re-joined the
+        # FULL edge table every iteration)
+        sl = lab.select(F.col("node").alias("src"), F.col("lab").alias("_sl"))
+        dl = lab.select(F.col("node").alias("dst"), F.col("lab").alias("_dl"))
+        E = (
+            E.join(sl, "src")
+            .join(dl, "dst")
+            .select(
+                F.least("_sl", "_dl").alias("src"),
+                F.greatest("_sl", "_dl").alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        e_count = E.count()
+        history.append(
+            {"iteration": it, "edges_after_contraction": int(e_count)}
+        )
+    if not labels_checkpointed:
+        labels = labels.localCheckpoint(eager=True)
+    if e_count != 0:
+        # a component needing more contraction rounds than
+        # cc_max_iterations would be silently split — surface it
+        # (ADVICE round 1)
         import warnings
 
         warnings.warn(
             f"hash-min CC did not converge in {cfg.cc_max_iterations} "
-            f"iterations ({changed} labels still changing); clusters may "
-            "be split",
+            f"iterations ({e_count} contracted edges remain); clusters "
+            "may be split",
             RuntimeWarning,
             stacklevel=2,
         )
-    history.append({"converged": changed == 0})
+    history.append({"converged": e_count == 0})
 
     if all_records is not None:
         labels = (
@@ -218,9 +274,21 @@ def _local_connected_components(
             comp_min[root] = node
     labels_rows = [(node, comp_min[find(node)]) for node in parent]
     spark = matches.sparkSession
-    labels = spark.createDataFrame(
-        labels_rows or [], "record_id long, cluster_id long"
-    )
+    if labels_rows:
+        # Arrow upload (one columnar batch) instead of pickling a row
+        # list: the label relation is re-serialized to executors on
+        # every downstream action, and the row path measured ~1 s per
+        # action at 50k labels
+        import pandas as pd
+
+        labels = spark.createDataFrame(
+            pd.DataFrame(labels_rows, columns=["record_id", "cluster_id"]),
+            "record_id long, cluster_id long",
+        )
+    else:
+        labels = spark.createDataFrame(
+            [], "record_id long, cluster_id long"
+        )
     if all_records is not None:
         labels = (
             all_records.select("record_id")

@@ -124,7 +124,25 @@ def make_minhash_udf(cfg: ERConfig):
 
 def normalize_files(files: DataFrame, cfg: ERConfig) -> DataFrame:
     """files(repo,path,commit,lang,content) -> + record_id, content_sha,
-    name, n_chars, n_tokens, minhash, bands. Narrow (no shuffle)."""
+    name, n_chars, n_tokens, minhash, bands.
+
+    Narrow per row; the input is adaptively widened first when it
+    arrives in fewer partitions than the session's parallelism: a
+    single-row-group parquet file scans as ONE task, which serializes
+    the whole Arrow minhash pass (measured 6.8 s over 2 tasks at the
+    sf1.0 gate vs ~1.5 s spread over 32 — guide §2.5 "input skew: one
+    huge unsplittable file ... repartition immediately after the
+    read"). On a real cluster with many input splits the repartition
+    is a no-op; the width tracks defaultParallelism, never a local
+    constant."""
+    spark = files.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        n_parts = files.rdd.getNumPartitions()
+    except Exception:
+        n_parts = target
+    if n_parts < target:
+        files = files.repartition(target)
     minhash_udf = make_minhash_udf(cfg)
     norm_content = F.lower(F.regexp_replace(F.col("content"), WS_RE, " "))
     base = (

@@ -196,12 +196,26 @@ def _labels_membership_rows(labels: DataFrame) -> DataFrame:
 
 def _tokenband_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, lang, source, n_toks) for non-empty documents — the
-    node table of the deterministic er03/er05 token-band graph."""
+    node table of the deterministic er03/er05 token-band graph.
+
+    Widened + checkpointed (round-6): the documents table is a
+    single-row-group parquet file, so the scan + regex token split ran
+    as ONE task (~2 s at sf1.0) and every consumer branch (er04/er05/
+    er06/er07 each fan out 2-4 branches) re-ran it. The repartition
+    spreads the split across the session's parallelism and the eager
+    localCheckpoint materializes the ~1 MB node table once per query
+    call."""
     d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    target = spark.sparkContext.defaultParallelism
+    try:
+        if d.rdd.getNumPartitions() < target:
+            d = d.repartition(target)
+    except Exception:
+        pass
     return d.select(
         "doc_id", "lang", "source",
         F.size(F.split(F.trim("text"), WS_RE)).alias("n_toks"),
-    )
+    ).localCheckpoint(eager=True)
 
 
 #: the ONE home of the token-band predicate (round-5 review: er04's
@@ -239,17 +253,63 @@ def _banded_tokenjoin(a: DataFrame, b: DataFrame,
     )
 
 
-def _tokenband_candidate_pairs(t: DataFrame) -> DataFrame:
+def _tokenband_candidate_pairs(t: DataFrame, keep_toks: bool = False) -> DataFrame:
     """Same-(lang, source) pairs with |Δn_toks| <= _BAND_DELTA,
     canonicalized left_id < right_id. SHARED by er03 (graph edges),
     er04 (within-delta edges), er05 (candidate counting), er06
     (relatedness pairs) — the band predicate lives once
-    (_banded_tokenjoin, round-4/5 review)."""
+    (_banded_tokenjoin, round-4/5 review). ``keep_toks`` carries the
+    per-side token counts through (a_toks/b_toks are already on the
+    banded-join output — re-joining the node table downstream costs
+    two extra shuffles over the pair table, round-6 measurement)."""
+    cols = ["lang", "source", "left_id", "right_id"]
+    if keep_toks:
+        cols += ["a_toks", "b_toks"]
     return (
         _banded_tokenjoin(t, t, "left_id", "right_id")
         .filter(F.col("left_id") < F.col("right_id"))
-        .select("lang", "source", "left_id", "right_id")
+        .select(*cols)
     )
+
+
+def _tokenband_component_edges(t: DataFrame) -> DataFrame:
+    """Closure-EQUIVALENT sparse edge set for the token-band graph:
+    the same connected components as ``_tokenband_candidate_pairs(t)``
+    with O(N + groups·band) edges instead of O(Σ n_g·n_h) pairs.
+
+    Equivalence: all docs of one (lang, source, n_toks) group are
+    pairwise band-adjacent (Δ = 0), so a star from the group's min
+    doc_id to its members preserves exactly the group's connectivity;
+    and because every member of a group shares the group's n_toks, a
+    band edge exists between ANY cross-group member pair iff it exists
+    between the groups' representatives (the predicate depends only on
+    (lang, source, n_toks)) — so one representative pair per qualifying
+    group pair carries the cross-group connectivity. Components (and
+    min-id labels) are therefore identical; only queries that need the
+    LABELS (er04 history clustering, er06, er07) use this — er03/er05
+    keep the full candidate join, which is their subject matter.
+
+    At the sf1.0 gate corpus this replaces a 913k-edge CC input with
+    ~67k edges (41k spokes + 26k representative links) — under the
+    documented cc_local_threshold, so clustering finishes in the
+    driver union-find instead of distributed rounds."""
+    g = t.groupBy("lang", "source", "n_toks").agg(
+        F.min("doc_id").alias("rep")
+    )
+    spokes = (
+        t.join(g, ["lang", "source", "n_toks"])
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(
+            F.col("rep").alias("left_id"), F.col("doc_id").alias("right_id")
+        )
+    )
+    reps = g.select(
+        F.col("rep").alias("doc_id"), "lang", "source", "n_toks"
+    )
+    rep_links = _tokenband_candidate_pairs(reps).select(
+        "left_id", "right_id"
+    )
+    return spokes.unionByName(rep_links)
 
 
 @register(
@@ -423,34 +483,24 @@ def er_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # forced-distributed config. At sf0.1 this cuts ~25 s of
     # iterative-CC stage overhead per bench run.
     cfg = ERConfig()
-    # persist both edge frames: connected_components actions each one
-    # twice (size probe + the CC pass), and the banded join would
-    # otherwise recompute per action
-    hist_edges = (
-        _tokenband_candidate_pairs(hist)
-        .select("left_id", "right_id").persist()
+    # connected_components checkpoints its input internally (round-6),
+    # so no caller-side persist is needed; the HISTORY clustering uses
+    # the closure-equivalent sparse edge set (identical labels — see
+    # _tokenband_component_edges) while the FOLD below still unions the
+    # real delta-touching banded pairs with the history pseudo-edges,
+    # which is er04's subject matter.
+    hist_clusters, _ = connected_components(
+        _tokenband_component_edges(hist), cfg,
+        all_records=hist.select(F.col("doc_id").alias("record_id")),
     )
-    edges = None
-    try:
-        hist_clusters, _ = connected_components(
-            hist_edges, cfg,
-            all_records=hist.select(F.col("doc_id").alias("record_id")),
-        )
-        edges = _tokenband_delta_pairs(hist, delta).unionByName(
-            history_pseudo_edges(hist_clusters)
-        ).persist()
-        labels, _ = connected_components(
-            edges, cfg,
-            all_records=t.select(F.col("doc_id").alias("record_id")),
-        )
-        out = _labels_membership_rows(labels).localCheckpoint(eager=True)
-    finally:
-        # release caches on every path — a failed CC run must not leak
-        # persisted banded-join partitions for the session's lifetime
-        hist_edges.unpersist()
-        if edges is not None:
-            edges.unpersist()
-    return out
+    edges = _tokenband_delta_pairs(hist, delta).unionByName(
+        history_pseudo_edges(hist_clusters)
+    )
+    labels, _ = connected_components(
+        edges, cfg,
+        all_records=t.select(F.col("doc_id").alias("record_id")),
+    )
+    return _labels_membership_rows(labels).localCheckpoint(eager=True)
 
 
 def incremental_minhash_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -502,11 +552,13 @@ def er_greedy_step_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smaph_spark.operators.greedy_features import greedy_step_features
 
     t = _tokenband_docs(spark, sf_dir)
-    pairs = _tokenband_candidate_pairs(t)
-    # adaptive CC config (see er04): distributed parity is er03's job
+    # labels via the closure-equivalent sparse edges (identical
+    # clusters, see _tokenband_component_edges); the rel table below
+    # still carries the REAL banded candidate pairs — that is the
+    # feature semantics, not just connectivity
     cfg = ERConfig()
     labels, _ = connected_components(
-        pairs.select("left_id", "right_id"), cfg,
+        _tokenband_component_edges(t), cfg,
         all_records=t.select(F.col("doc_id").alias("record_id")),
     )
     toks = t.select(F.col("doc_id").alias("record_id"), "n_toks")
@@ -528,18 +580,20 @@ def er_greedy_step_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("record_id").alias("member_id"),
         F.col("n_toks").alias("member_tokens"),
     )
-    ta = t.select(F.col("doc_id").alias("a_id"), F.col("n_toks").alias("a_toks"))
-    tb = t.select(F.col("doc_id").alias("b_id"), F.col("n_toks").alias("b_toks"))
+    # rel = 1/(1+|Δn_toks|) over the banded candidate pairs. The token
+    # counts ride out of the banded join itself (keep_toks) — the old
+    # ta/tb re-joins put two extra shuffles over the pair table (the
+    # 65 task-second stage of the round-6 before-profile). Persisted:
+    # greedy_step_features consumes rel in both the before-pairs and
+    # the candidate×partial joins.
     rel = (
-        pairs.select(
-            F.col("left_id").alias("a_id"), F.col("right_id").alias("b_id")
-        )
-        .join(ta, "a_id").join(tb, "b_id")
+        _tokenband_candidate_pairs(t, keep_toks=True)
         .select(
-            "a_id", "b_id",
+            F.col("left_id").alias("a_id"), F.col("right_id").alias("b_id"),
             (F.lit(1.0) / (F.lit(1.0) + F.abs(F.col("a_toks") - F.col("b_toks"))))
             .alias("rel"),
         )
+        .persist()
     )
     group_tokens = members.groupBy(F.col("cluster_id").alias("group_id")).agg(
         F.sum("n_toks").alias("query_tokens")
@@ -618,9 +672,13 @@ def er_bcubed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smaph_spark.operators.metrics import bcubed_prf
 
     t = _tokenband_docs(spark, sf_dir)
-    pairs = _tokenband_candidate_pairs(t).select("left_id", "right_id")
+    # the clustering is the SAME token-band components, derived from
+    # the closure-equivalent sparse edge set (see
+    # _tokenband_component_edges) — er07 consumes only the labels, so
+    # materializing the full 913k-pair candidate join (recomputed 2-3x
+    # per run before round 6) bought nothing
     labels, _ = connected_components(
-        pairs, ERConfig(),
+        _tokenband_component_edges(t), ERConfig(),
         all_records=t.select(F.col("doc_id").alias("record_id")),
     )
     gold = t.select(

@@ -191,6 +191,43 @@ def test_er04_incremental_equals_batch_tokenband(spark):
     assert er04_rows == er03_rows
 
 
+def test_tokenband_component_edges_equivalent(spark):
+    """Round-6 optimization guard: the closure-equivalent sparse edge
+    set (_tokenband_component_edges — group spokes + representative
+    links) must yield EXACTLY the labels of connected components over
+    the full banded candidate pairs, at a scale where multi-group
+    chains exist (sf0.01). er04/er06/er07 rely on this equivalence."""
+    from dataclasses import replace
+
+    from smaph_spark.config import ERConfig
+    from smaph_spark.operators.clustering import connected_components
+    from smaph_spark.ops.er_docs import (
+        _tokenband_candidate_pairs, _tokenband_component_edges,
+        _tokenband_docs,
+    )
+
+    t = _tokenband_docs(spark, "/root/testdata/sf0.01")
+    recs = t.select(F.col("doc_id").alias("record_id"))
+    cfg = ERConfig()
+    full, _ = connected_components(
+        _tokenband_candidate_pairs(t).select("left_id", "right_id"),
+        cfg, all_records=recs,
+    )
+    sparse, _ = connected_components(
+        _tokenband_component_edges(t), cfg, all_records=recs,
+    )
+    # and the sparse set must ALSO survive the forced-distributed path
+    sparse_dist, _ = connected_components(
+        _tokenband_component_edges(t),
+        replace(cfg, cc_local_threshold=0), all_records=recs,
+    )
+    f = {(r["record_id"], r["cluster_id"]) for r in full.collect()}
+    s = {(r["record_id"], r["cluster_id"]) for r in sparse.collect()}
+    d = {(r["record_id"], r["cluster_id"]) for r in sparse_dist.collect()}
+    assert f == s
+    assert f == d
+
+
 def test_er05_blocking_quality_invariants(spark):
     """Reduction ratio is a true blocking-efficiency number: candidate
     pairs never exceed the all-pairs baseline, ratios live in [0, 1],
