@@ -23,7 +23,7 @@ from pyspark.sql import types as T
 from smaph_spark.config import ERConfig
 from smaph_spark.operators.blocking import cap_and_salt_blocks
 from smaph_spark.operators.normalize import make_minhash_udf
-from smaph_spark.plans.star_queries import WS_RE, load, register
+from smaph_spark.plans.star_queries import WS_RE, load, register, widen
 
 
 _LOG = logging.getLogger("smaph_spark.dedup")
@@ -142,7 +142,11 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n-gram column gets pushed below the project with the whole
     # higher-order expression inlined into the condition — measured 15x
     # slower (the split re-ran per element_at inside the lambda)
-    d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    # widen BEFORE the split/hash projection: the single-row-group scan
+    # would otherwise run the whole n-gram hashing on 1-2 tasks
+    d = widen(
+        load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    )
     t1 = d.select(
         "doc_id", "lang", "source", F.split(F.trim("text"), WS_RE).alias("toks")
     ).filter(F.size("toks") >= 3)
@@ -220,7 +224,7 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _doc_minhash(spark: SparkSession, sf_dir: str, cfg: ERConfig) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = widen(load(spark, sf_dir, "documents"))
     mh = make_minhash_udf(cfg)
     norm = F.lower(F.regexp_replace(F.col("text"), WS_RE, " "))
     return (
@@ -377,7 +381,9 @@ def simhash_pairs(
     survey_ref="SimHash near-dup; banded hamming join (scale path: 4x16-bit chunks)",
 )
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    d = widen(
+        load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    )
     sh = _make_simhash_udf()
     sig = d.select("doc_id", sh("text").alias("sim"))
     cfg = ERConfig(max_block_size=500, block_salt_buckets=8)
@@ -499,6 +505,9 @@ def cosine_self_join(
     survey_ref="embedding cosine near-dup (J5 relatedness-pair analogue)",
 )
 def dd_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT widened: the heavy GEMM runs in the cogroup stage, already
+    # parallel via the pid shuffle; widening the 2-task scan measured
+    # 2.4s -> 4.5s (A/B, round 6) from the extra exchange
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
@@ -591,6 +600,9 @@ def cosine_near_dup_lsh(
                "candidates (capped) + exact cosine rerank",
 )
 def dd_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT widened: the heavy GEMM runs in the cogroup stage, already
+    # parallel via the pid shuffle; widening the 2-task scan measured
+    # 2.4s -> 4.5s (A/B, round 6) from the extra exchange
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
@@ -810,7 +822,12 @@ def cdc_chunk_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
                "cannot see)",
 )
 def dd_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").filter(F.length(F.coalesce("text", F.lit(""))) > 0)
+    # widen: the gear-hash chunker is the whole per-row cost and the
+    # scan is a single row group (11.6 task-sec over 2 tasks at sf1.0)
+    d = widen(
+        load(spark, sf_dir, "documents")
+        .filter(F.length(F.coalesce("text", F.lit(""))) > 0)
+    )
     return cdc_chunk_stats(d)
 
 
@@ -885,7 +902,10 @@ def cdc_containment_pairs(
                "with hot-chunk capping, dd03-family contract)",
 )
 def dd_cdc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").filter(
-        F.length(F.coalesce("text", F.lit(""))) > 0
+    # widen: same single-row-group chunker serialization as dd08
+    d = widen(
+        load(spark, sf_dir, "documents").filter(
+            F.length(F.coalesce("text", F.lit(""))) > 0
+        )
     )
     return cdc_containment_pairs(d)

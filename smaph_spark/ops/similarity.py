@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from smaph_spark.plans.star_queries import load, register
+from smaph_spark.plans.star_queries import load, register, widen
 
 #: committed PQ-codebook artifact (scripts/train_pq_codebook.py
 #: regenerates) — same model-artifact treatment as the GBT scorer
@@ -70,7 +70,7 @@ def _cosine(a_col: str, b_col: str):
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    e = load(spark, sf_dir, "embeddings").select(
+    e = widen(load(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
     )
@@ -229,7 +229,7 @@ def lsh_topk(
                "join → rerank; scanned fraction logged",
 )
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings").select(
+    e = widen(load(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
     )
@@ -359,7 +359,7 @@ def ivf_topk(
                "n_probe cells -> exact rerank)",
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings").select(
+    e = widen(load(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
     )
@@ -621,7 +621,7 @@ def pq_topk(
                "ADC scan + exact rerank (Jégou et al., TPAMI'11)",
 )
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings").select(
+    e = widen(load(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
     )

@@ -15,6 +15,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from smaph_spark.plans.star_queries import WS_CHARS, WS_RE, load, register
+# (widen() deliberately NOT used here: the tx queries' split+partial-agg
+# stages are cheap enough that the widening shuffle of the text column
+# costs more than it buys — A/B'd at sf1.0 in round 6: tx01 2.3s plain
+# vs 4.1s widened, tx09 1.1 vs 1.4)
 
 # BPE-ish pre-tokenizer: word pieces OR single non-space symbols
 # (explicit whitespace class — same Java-vs-RE2 \s dialect dodge)

@@ -31,6 +31,28 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def widen(df: DataFrame) -> DataFrame:
+    """Adaptively spread a narrowly-partitioned scan across the
+    session's parallelism BEFORE per-row-heavy work (Arrow UDFs, regex
+    tokenization, higher-order array transforms). The driver tables are
+    single-row-group parquet files, so they scan as 1-2 tasks no matter
+    the split config — the guide's "input skew: one huge unsplittable
+    file ... repartition immediately after the read" case; a CDC
+    chunker or minhash pass then runs serially on a 32-core host
+    (measured: dd08's chunker 11.6 task-sec over 2 tasks at sf1.0).
+    No-op when the input already has >= defaultParallelism partitions
+    (a real cluster's many-split scan), so the width tracks the
+    session, never a local constant."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() >= target:
+            return df
+    except Exception:
+        return df
+    return df.repartition(target)
+
+
 #: Whitespace for token-split regexes as an EXPLICIT class, never \s:
 #: Java's \s (Spark) includes \x0b, RE2's (DuckDB) does not — a document
 #: containing a vertical tab would silently break oracle parity. Shared
@@ -691,23 +713,36 @@ def q21(spark, sf_dir):
     survey_ref="J4 block-local self-join (IndividualLinkback.getAnnotations:43-67)",
 )
 def q20(spark, sf_dir):
+    # Round-6: the per-group pair count is computed ARITHMETICALLY from
+    # group sizes instead of materializing the block self-join —
+    # doc_id is the table key (distinct), so the number of (a, b) rows
+    # with a.doc_id < b.doc_id inside one (lang, bucket) block is
+    # exactly n·(n-1)/2 (guide §1.2: don't compute things you throw
+    # away; same recast er05 uses for its all-pairs baseline). NULL
+    # lang/bucket groups are dropped to match the oracle's equi-join
+    # NULL semantics, and n >= 2 matches the join emitting no row for
+    # singleton blocks. The J4 self-join shape itself stays exercised
+    # by the ER pipeline's generate_pairs (er01/er02) and er05's banded
+    # join. Before: one 2-task stage, 9.6 task-sec at sf1.0 (the
+    # single-row-group scan kept the exploding join on 2 cores).
     d = (
         load(spark, sf_dir, "documents")
         .select(
-            "doc_id",
             "lang",
             F.floor(F.col("n_chars") / 100).cast("long").alias("bucket"),
         )
+        .filter(F.col("lang").isNotNull() & F.col("bucket").isNotNull())
     )
-    a = d.alias("a")
-    b = d.select(
-        F.col("doc_id").alias("b_doc_id"), "lang", "bucket"
-    ).alias("b")
+    n = F.col("n")
     return (
-        a.join(b, ["lang", "bucket"])
-        .filter(F.col("doc_id") < F.col("b_doc_id"))
-        .groupBy("lang", "bucket")
-        .agg(F.count("*").alias("n_pairs"))
+        d.groupBy("lang", "bucket")
+        .agg(F.count("*").alias("n"))
+        .filter(n >= 2)
+        .select(
+            "lang", "bucket",
+            # integer DIV (n·(n-1) is even — exact), same idiom as er05
+            F.expr("n * (n - 1) DIV 2").alias("n_pairs"),
+        )
     )
 
 
