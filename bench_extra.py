@@ -40,14 +40,20 @@ def _stages(spark):
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     mode = "explain" if "--explain" in sys.argv else "profile"
     tag = "before"
+    consumed = set()
     if "--tag" in sys.argv:
-        tag = sys.argv[sys.argv.index("--tag") + 1]
+        i = sys.argv.index("--tag")
+        tag = sys.argv[i + 1]
+        consumed.add(i + 1)
     reps = 1
     if "--reps" in sys.argv:
-        reps = int(sys.argv[sys.argv.index("--reps") + 1])
+        i = sys.argv.index("--reps")
+        reps = int(sys.argv[i + 1])
+        consumed.add(i + 1)
+    args = [a for i, a in enumerate(sys.argv) if i > 0
+            and not a.startswith("--") and i not in consumed]
 
     from smaph_spark.session import get_spark
 

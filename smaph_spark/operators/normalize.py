@@ -119,7 +119,12 @@ def make_minhash_udf(cfg: ERConfig):
             }
         )
 
-    return minhash_udf
+    # asNondeterministic: when the normalize output is NOT persisted
+    # (standalone dd03-style uses), the blocking explode's implicit
+    # filter is pushed below with the minhash UDF inlined a second
+    # time (two ArrowEvalPython nodes — guide §4.4). Deterministic in
+    # value (seeded); the flag only pins a single evaluation.
+    return minhash_udf.asNondeterministic()
 
 
 def normalize_files(files: DataFrame, cfg: ERConfig) -> DataFrame:

@@ -324,7 +324,9 @@ def _make_simhash_udf(seed: int = 0x51A0):
             ).view(np.uint64)[0]
         return pd.Series(out.view(np.int64))
 
-    return simhash_udf
+    # see make_cdc_chunk_udf: stops explode-filter pushdown from
+    # duplicating the Python evaluation (guide §4.4)
+    return simhash_udf.asNondeterministic()
 
 
 def _fnv1a(s: str) -> int:
@@ -761,7 +763,14 @@ def make_cdc_chunk_udf(
             [_chunk_hashes((t or "").encode("utf-8")) for t in texts]
         )
 
-    return cdc_chunks
+    # asNondeterministic: the downstream explode's implicit filter
+    # (size(chunks) > 0) is otherwise pushed below the widening
+    # exchange WITH THE UDF INLINED A SECOND TIME — two ArrowEvalPython
+    # nodes, the pushed copy running serially on the 1-2-task scan
+    # (measured 1.2s -> 9.0s at sf1.0; guide §4.4). The chunker is
+    # semantically deterministic; the flag only stops the optimizer
+    # from duplicating/reordering it.
+    return cdc_chunks.asNondeterministic()
 
 
 def cdc_chunk_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -108,7 +108,9 @@ def make_hyperplane_udf(dim: int, n_planes: int = 32, seed: int = 0xA11CE):
             out |= bits[:, j].astype(np.uint64) << np.uint64(j)
         return pd.Series(out.view(np.int64))
 
-    return signature
+    # see dedup.make_cdc_chunk_udf: stops the band explode's implicit
+    # filter pushdown from duplicating the Python evaluation (§4.4)
+    return signature.asNondeterministic()
 
 
 _LOG = logging.getLogger("smaph_spark.similarity")
