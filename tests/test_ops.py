@@ -757,6 +757,26 @@ def test_png_roundtrip_all_filters():
     assert got.shape == (5, 6, 3) and (got == rgba[..., :3]).all()
 
 
+def test_png_wavefront_equals_sequential_unfilter():
+    """Round-6 optimization guard: the anti-diagonal wavefront decode
+    (_unfilter_wavefront — the no-per-pixel-Python path used whenever
+    a scanline carries Average/Paeth) must reproduce the
+    spec-sequential reference loop (_unfilter_rows) bit-for-bit over
+    random scanline bytes and random per-row filter mixes, RGB and
+    RGBA, including degenerate 1-pixel-wide images."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    for (h, w, ch) in ((13, 17, 3), (8, 5, 4), (3, 1, 3), (1, 9, 4),
+                       (40, 33, 3)):
+        stride = w * ch
+        rows = rng.integers(0, 256, size=(h, stride), dtype=np.uint8)
+        filters = rng.integers(0, 5, size=h, dtype=np.uint8)
+        ref = multimodal._unfilter_rows(filters, rows, h, stride, ch)
+        fast = multimodal._unfilter_wavefront(filters, rows, h, w, ch)
+        assert (ref == fast).all(), (h, w, ch, filters.tolist())
+
+
 def test_png_feature_extract_sha_pinned(spark):
     """mm02 over a PNG payload: the decoder column reports the REAL
     png path and feat_mean is the actual pixel mean; unsupported PNG
