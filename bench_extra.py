@@ -70,6 +70,22 @@ def main() -> None:
     if mode == "explain":
         outdir = os.path.join(REPO, "plans", "r06")
         os.makedirs(outdir, exist_ok=True)
+        if "--nockpt" in sys.argv:
+            # checkpoint-fronted queries (dd08/dd09/er04/er07 end in an
+            # eager localCheckpoint) explain as an opaque ExistingRDD
+            # scan; identity-patching localCheckpoint exposes the full
+            # computation plan for the plans/r06 artifacts (explain
+            # only — results are unchanged, just not pre-materialized)
+            from pyspark.sql import DataFrame as _DF
+
+            _DF.localCheckpoint = lambda self, eager=True: self
+            try:  # Spark 4: the classic subclass overrides the base
+                from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+                _CDF.localCheckpoint = lambda self, eager=True: self
+            except ImportError:
+                pass
+            tag = tag + "_full"
         for name in names:
             df = QUERIES[name].fn(spark, sf_dir)
             txt = df._sc._jvm.PythonSQLUtils.explainString(

@@ -58,11 +58,15 @@ def generate_blocks(normalized: DataFrame, cfg: ERConfig) -> DataFrame:
     if not keys:
         raise ValueError("at least one blocking family must be enabled")
     all_keys = keys[0] if len(keys) == 1 else F.concat(*keys)
-    return (
-        normalized.select(
-            F.col("record_id"), F.explode(all_keys).alias("block_key")
-        )
-        .dropDuplicates(["record_id", "block_key"])
+    # No dropDuplicates (round-6): the key families are disjoint by
+    # construction — the name key is "N:"-prefixed and unique per
+    # record, each LSH band key carries its band index ("L:<i>:") so
+    # bands cannot collide — and pair generation dedups on
+    # (left_id, right_id) downstream anyway (generate_pairs groupBy),
+    # so the full shuffle of the exploded key table bought nothing
+    # (~850k rows at the sf1.0 gate, one of stage 2's two exchanges).
+    return normalized.select(
+        F.col("record_id"), F.explode(all_keys).alias("block_key")
     )
 
 
@@ -75,12 +79,24 @@ def cap_and_salt_blocks(
     block_metrics has one row per affected block: (block_key, n_records,
     action ∈ {salted, dropped}) — "no silent caps".
     """
-    counts = blocks.groupBy("block_key").agg(F.count("*").alias("n_records"))
-    enriched = blocks.join(counts, "block_key")  # same-key shuffle, AQE coalesced
+    # ONE shuffle (round-6): the per-key count rides a window over the
+    # key partitioning instead of a separate groupBy + self-join (two
+    # key-table passes through the exchange). NULL keys are filtered
+    # up front to preserve the old equi-join semantics exactly (a NULL
+    # block key never matched the counts join, so its rows were
+    # dropped; the window would have kept them as one NULL block).
+    from pyspark.sql import Window as W
+
+    blocks = blocks.filter(F.col("block_key").isNotNull())
+    enriched = blocks.withColumn(
+        "n_records", F.count("*").over(W.partitionBy("block_key"))
+    )
 
     drop_limit = cfg.max_block_size * cfg.block_salt_buckets
     metrics = (
-        counts.filter(F.col("n_records") > cfg.max_block_size)
+        enriched.filter(F.col("n_records") > cfg.max_block_size)
+        .groupBy("block_key")
+        .agg(F.max("n_records").alias("n_records"))
         .withColumn(
             "action",
             F.when(F.col("n_records") > drop_limit, F.lit("dropped")).otherwise(

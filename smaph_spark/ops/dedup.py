@@ -480,19 +480,48 @@ def cosine_self_join(
 
         l_ids = l["l_id"].to_numpy().astype(np.int64)
         r_ids = r["r_id"].to_numpy().astype(np.int64)
-        sims = unit(l, "l_emb") @ unit(r, "r_emb").T
+        lm = unit(l, "l_emb")
+        # ascontiguousarray: this box's OpenBLAS takes a 10-30x slower
+        # kernel for a strided (transposed-view) RHS — the 1.3 MB copy
+        # buys a ~50ms GEMM instead of ~8s per bucket-pair task
+        # (round-6 measurement inside the cogroup workers)
+        rmt = np.ascontiguousarray(unit(r, "r_emb").T)
         same_bucket = int(l["l_bkt"].iloc[0]) == int(r["r_bkt"].iloc[0])
-        keep = sims >= threshold
-        if same_bucket:
-            # diagonal block: each unordered pair appears twice — keep
-            # the canonical orientation only (also drops self-pairs)
-            keep &= l_ids[:, None] < r_ids[None, :]
-        li, ri = np.nonzero(keep)
-        if len(li) == 0:
+        # TILED multiply: one full slab-x-slab sims matrix is ~50 MB
+        # that every (fresh, single-use) python worker page-faults in
+        # on its first call — with N workers starting together that
+        # first-call cost measured seconds per task. Row tiles keep the
+        # working set a few MB, reused from the allocator across tiles,
+        # and bound task memory at any slab size (the 100 TB contract:
+        # memory per task stays O(tile * |slab|), not O(|slab|^2)).
+        # tile <= 256 ALSO keeps OpenBLAS off its large-GEMM path,
+        # whose first-call per-process buffer setup measured ~5 s
+        # under 32-way concurrency (pool A/B: full-slab multiply 5.0 s
+        # first call vs 0.09 s for the same work in <=256-row tiles).
+        tile = 256
+        parts_a, parts_b, parts_c = [], [], []
+        for s0 in range(0, lm.shape[0], tile):
+            sims = lm[s0:s0 + tile] @ rmt
+            keep = sims >= threshold
+            if same_bucket:
+                # diagonal block: each unordered pair appears twice —
+                # keep the canonical orientation (drops self-pairs too)
+                keep &= l_ids[s0:s0 + tile, None] < r_ids[None, :]
+            li, ri = np.nonzero(keep)
+            if len(li):
+                la = l_ids[s0 + li]
+                parts_a.append(np.minimum(la, r_ids[ri]))
+                parts_b.append(np.maximum(la, r_ids[ri]))
+                parts_c.append(sims[li, ri])
+        if not parts_a:
             return empty
-        a = np.minimum(l_ids[li], r_ids[ri])
-        b = np.maximum(l_ids[li], r_ids[ri])
-        return pd.DataFrame({"a_vec": a, "b_vec": b, "cos_raw": sims[li, ri]})
+        return pd.DataFrame(
+            {
+                "a_vec": np.concatenate(parts_a),
+                "b_vec": np.concatenate(parts_b),
+                "cos_raw": np.concatenate(parts_c),
+            }
+        )
 
     return (
         left.groupby("pid")

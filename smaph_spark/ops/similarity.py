@@ -270,13 +270,17 @@ def make_ivf_cells_udf(centroids: np.ndarray, n_probe: int):
     unit_c = centroids / np.maximum(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
     )
+    # contiguous transposed copy once at UDF build: a strided RHS view
+    # takes this box's OpenBLAS down a 10-30x slower kernel (see
+    # dedup.cosine_self_join, round-6)
+    unit_ct = np.ascontiguousarray(unit_c.T)
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def cells(emb: pd.Series) -> pd.Series:
         m = np.stack(emb.to_numpy()).astype(np.float64)
         nrm = np.linalg.norm(m, axis=1, keepdims=True)
         nrm[nrm == 0] = 1.0
-        sims = (m / nrm) @ unit_c.T  # (batch, n_cells)
+        sims = (m / nrm) @ unit_ct  # (batch, n_cells)
         order = np.argsort(-sims, axis=1)[:, :n_probe]
         return pd.Series([row.astype(np.int32).tolist() for row in order])
 

@@ -30,6 +30,18 @@ def get_spark(
     # as DiskBlockObjectWriter delete errors + stalled stages)
     local_dir = os.environ.get("SMAPH_SPARK_LOCAL_DIR", "/root/spark-local")
     os.makedirs(local_dir, exist_ok=True)
+    # one BLAS thread per python worker: a task is one core's share of
+    # work, and an unpinned OpenBLAS/OMP spawns a full thread pool in
+    # EVERY forked worker (N workers x N threads oversubscribes any
+    # host; on a cluster each executor core runs one worker). Workers
+    # inherit the driver env in local mode; spark.executorEnv carries
+    # the same setting to real executors. setdefault keeps an explicit
+    # user override in force.
+    blas_env = {}
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+        blas_env[f"spark.executorEnv.{var}"] = os.environ[var]
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -45,7 +57,7 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
-    for k, v in (extra_conf or {}).items():
+    for k, v in {**blas_env, **(extra_conf or {})}.items():
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
