@@ -234,6 +234,7 @@ def bcubed_prf(clusters: DataFrame, gold_clusters: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("rows"),
             F.count("record_id").alias("n"),
             F.count_distinct("record_id").alias("d"),
+            F.count("cluster_id").alias("c"),
         ).collect()[0]
         if int(row["rows"]) != int(row["n"]):
             # count()/count_distinct skip NULLs, so a NULL id would
@@ -243,6 +244,15 @@ def bcubed_prf(clusters: DataFrame, gold_clusters: DataFrame) -> DataFrame:
                 f"bcubed_prf: {side} has "
                 f"{int(row['rows']) - int(row['n'])} NULL record_id "
                 "row(s); every record must have a non-null id"
+            )
+        if int(row["rows"]) != int(row["c"]):
+            # a NULL cluster_id passes the record_id check but silently
+            # drops at the p_sizes/g_sizes equi-joins (NULL never
+            # equi-matches), undercounting n_records (round-5 ADVICE)
+            raise ValueError(
+                f"bcubed_prf: {side} has "
+                f"{int(row['rows']) - int(row['c'])} NULL cluster_id "
+                "row(s); every record must carry a non-null label"
             )
         return int(row["n"]), int(row["d"])
 

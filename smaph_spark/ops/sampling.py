@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from smaph_spark.plans.star_queries import load, register
+from smaph_spark.plans.star_queries import load, register, widen
 
 
 def md5_prefix_int(col) -> F.Column:
@@ -153,7 +153,12 @@ def temporal_split(
                "cutoff == DuckDB quantile_disc, engine-portable)",
 )
 def ds_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events")
+    # widen: percentile_disc buffers all values per input partition, and
+    # the single-row-group events scan feeds it as ONE task (A/B at
+    # sf1.0: 4.1s plain vs 3.3s widened); the key-partitioned shuffle
+    # count stays zero (plan test), and on a many-split cluster scan
+    # widen is a no-op
+    e = widen(load(spark, sf_dir, "events"))
     return temporal_split(e.select("event_id", "ts"), "ts").select(
         "event_id", "split"
     )

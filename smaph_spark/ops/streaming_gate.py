@@ -48,18 +48,29 @@ _STAGE_CACHE: dict[tuple, str] = {}
 _SINK_IDS = count()
 
 
-def _stage_dir(kind: str, sf_dir: str) -> str:
+def _stage_dir(kind: str, sf_dir: str, content_of: str | None = None) -> str:
     """DETERMINISTIC stage path keyed by (kind, sf_dir) — round-4
     ADVICE: mkdtemp-per-session accumulated a corpus copy in /tmp for
     every gate run on a long-lived host; a reusable path makes re-runs
     REUSE the staged data instead (the staging transform is a pure
     function of sf_dir, so an existing _SUCCESS copy is the right
-    copy). Residual caveat (round-5 review): two sessions racing the
-    very FIRST staging of the same sf_dir can still collide — fine for
-    this single-host gate shim, where driver/gate runs are serial."""
+    copy). ``content_of`` (round-5 ADVICE): a source file whose
+    (mtime, size) folds into the tag, so a corpus regenerated in place
+    at the same path gets a FRESH stage instead of silently serving
+    the stale copy. Residual caveat (round-5 review): two sessions
+    racing the very FIRST staging of the same sf_dir can still collide
+    — fine for this single-host gate shim, where driver/gate runs are
+    serial."""
     import hashlib
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    basis = os.path.abspath(sf_dir)
+    if content_of is not None:
+        try:
+            st = os.stat(content_of)
+            basis += f"|{int(st.st_mtime)}|{st.st_size}"
+        except OSError:
+            pass
+    tag = hashlib.md5(basis.encode()).hexdigest()[:12]
     stage = os.path.join(
         tempfile.gettempdir(), f"smaph_stage_{kind}_{tag}"
     )
@@ -70,7 +81,10 @@ def _stage_dir(kind: str, sf_dir: str) -> str:
 def _staged_documents_dir(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), "docs")
     if key not in _STAGE_CACHE:
-        stage = _stage_dir("docs", sf_dir)
+        stage = _stage_dir(
+            "docs", sf_dir,
+            content_of=os.path.join(sf_dir, "documents.parquet"),
+        )
         # reuse a completed previous staging (deterministic content);
         # only write when absent, shrinking the cross-session
         # overwrite race to first-time staging
