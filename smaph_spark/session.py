@@ -53,7 +53,16 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SMAPH_DRIVER_MEM", "8g"))
+        # local mode packs every executor's tasks into ONE JVM: a flat
+        # 8g heap gives 32 concurrent tasks ~250 MB of execution memory
+        # each, far below any real executor's per-core memory. Scale
+        # the default with the core count (cores/2 GB, floor 8) so
+        # per-task memory tracks what a cluster deployment provides;
+        # SMAPH_DRIVER_MEM still overrides.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SMAPH_DRIVER_MEM", f"{max(8, cpus // 2)}g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
