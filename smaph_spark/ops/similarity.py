@@ -270,17 +270,20 @@ def make_ivf_cells_udf(centroids: np.ndarray, n_probe: int):
     unit_c = centroids / np.maximum(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
     )
-    # contiguous transposed copy once at UDF build: a strided RHS view
-    # takes this box's OpenBLAS down a 10-30x slower kernel (see
-    # dedup.cosine_self_join, round-6)
-    unit_ct = np.ascontiguousarray(unit_c.T)
+    # NOTE round-6: a contiguous transposed copy of unit_c (the
+    # dedup.cosine_self_join BLAS-kernel fix) was tried here and
+    # REVERTED — the different GEMM kernel changes the float sums at
+    # the last ulp, which flips argsort ties and with them the cell
+    # assignment of near-equidistant vectors, i.e. the query's output.
+    # This multiply is (batch x dim) @ (dim x n_cells) with tiny
+    # n_cells, which never enters the slow large-GEMM path anyway.
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def cells(emb: pd.Series) -> pd.Series:
         m = np.stack(emb.to_numpy()).astype(np.float64)
         nrm = np.linalg.norm(m, axis=1, keepdims=True)
         nrm[nrm == 0] = 1.0
-        sims = (m / nrm) @ unit_ct  # (batch, n_cells)
+        sims = (m / nrm) @ unit_c.T  # (batch, n_cells)
         order = np.argsort(-sims, axis=1)[:, :n_probe]
         return pd.Series([row.astype(np.int32).tolist() for row in order])
 
@@ -365,7 +368,13 @@ def ivf_topk(
                "n_probe cells -> exact rerank)",
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = widen(load(spark, sf_dir, "embeddings")).select(
+    # NOT widened (round-6): KMeans' k-means|| initialization depends
+    # on the input partition layout, so repartitioning the scan
+    # changes the trained centroids and with them this query's output
+    # rows — caught by the round-6 row-identity cross-check against
+    # the round-start tree and reverted (the other embedding queries'
+    # outputs are layout-independent and keep the widen).
+    e = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
     )
